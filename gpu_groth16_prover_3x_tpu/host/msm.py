@@ -1,0 +1,120 @@
+"""Host-side exact multi-scalar multiplication and fixed-base exponentiation.
+
+Oracle equivalents of the reference's CPU multiexp stack
+(depends/libff/libff/algebra/scalar_multiplication/multiexp.tcc):
+  - `msm`            ~ multi_exp_with_mixed_addition<BDLO12> (:165-283),
+                       the Pippenger bucket method the CPU prover uses
+                       (libsnark/main.cpp:24,150-170)
+  - `window_table` / `batch_exp`
+                     ~ get_window_table (:547-585) / batch_exp (:587-650),
+                       used by the trusted-setup generator
+                       (r1cs_gg_ppzksnark.tcc:289-345)
+
+Results are group elements, so only mathematical equality matters; the
+algorithms here are chosen for clarity + acceptable Python speed, and they
+double as the executable spec for the TPU Pippenger kernels in ops/msm.py.
+"""
+
+import math
+from typing import List, Sequence
+
+from .ec import Group, Point
+
+
+def msm(group: Group, scalars: Sequence[int], points: Sequence[Point]) -> Point:
+    """Pippenger bucket MSM: sum_i scalars[i] * points[i]."""
+    assert len(scalars) == len(points)
+    n = len(scalars)
+    if n == 0:
+        return group.zero
+    scalars = [int(s) for s in scalars]
+    maxbits = max((s.bit_length() for s in scalars), default=1)
+    if maxbits == 0:
+        return group.zero
+    # window size ~ the libff heuristic log2(n) - (log2(n)/3 - 2)
+    logn = max(int(math.log2(n)), 1) if n > 1 else 1
+    c = max(2, logn - (logn // 3 - 2))
+    c = min(c, 16)
+    num_windows = (maxbits + c - 1) // c
+    mask = (1 << c) - 1
+
+    result = group.zero
+    for w in range(num_windows - 1, -1, -1):
+        for _ in range(c):
+            result = group.dbl(result)
+        buckets: List[Point] = [group.zero] * ((1 << c) - 1)
+        shift = w * c
+        for s, pt in zip(scalars, points):
+            digit = (s >> shift) & mask
+            if digit:
+                buckets[digit - 1] = group.add(buckets[digit - 1], pt)
+        # suffix-sum accumulation: sum_b b * bucket_b
+        running = group.zero
+        window_sum = group.zero
+        for b in range(len(buckets) - 1, -1, -1):
+            running = group.add(running, buckets[b])
+            window_sum = group.add(window_sum, running)
+        result = group.add(result, window_sum)
+    return result
+
+
+def msm_naive(group: Group, scalars, points) -> Point:
+    """Direct double-and-add sum, for cross-checking `msm` in tests."""
+    acc = group.zero
+    for s, pt in zip(scalars, points):
+        acc = group.add(acc, group.mul(int(s), pt))
+    return acc
+
+
+# -- fixed-base windowed exponentiation (setup path) -------------------------
+
+def get_exp_window_size(num_scalars: int) -> int:
+    """Simplified analog of libff::get_exp_window_size (multiexp.tcc:509-545)."""
+    if num_scalars < 32:
+        return 3
+    return min(14, max(3, int(math.log2(num_scalars))))
+
+
+def window_table(group: Group, scalar_bits: int, window: int,
+                 base: Point) -> List[List[Point]]:
+    """powers_of_g[w][j] = (j << (w*window)) * base  (multiexp.tcc:547-585)."""
+    in_window = 1 << window
+    outerc = (scalar_bits + window - 1) // window
+    table: List[List[Point]] = []
+    g_outer = base
+    for _ in range(outerc):
+        row = [group.zero] * in_window
+        g_inner = group.zero
+        for j in range(in_window):
+            row[j] = g_inner
+            g_inner = group.add(g_inner, g_outer)
+        table.append(row)
+        for _ in range(window):
+            g_outer = group.dbl(g_outer)
+    return table
+
+
+def windowed_exp(group: Group, scalar_bits: int, window: int,
+                 table: List[List[Point]], scalar: int) -> Point:
+    outerc = (scalar_bits + window - 1) // window
+    mask = (1 << window) - 1
+    res = group.zero
+    s = int(scalar)
+    for w in range(outerc):
+        res = group.add(res, table[w][(s >> (w * window)) & mask])
+    return res
+
+
+def batch_exp(group: Group, scalar_bits: int, window: int,
+              table: List[List[Point]], scalars: Sequence[int],
+              coeff: int = None, modulus: int = None) -> List[Point]:
+    """table-based multi-exponentiation (multiexp.tcc:587-680).
+
+    With `coeff` set, computes (coeff * s) * base like batch_exp_with_coeff
+    (used for the H-query, r1cs_gg_ppzksnark.tcc:331).
+    """
+    out = []
+    for s in scalars:
+        k = int(s) if coeff is None else (coeff * int(s)) % modulus
+        out.append(windowed_exp(group, scalar_bits, window, table, k))
+    return out
