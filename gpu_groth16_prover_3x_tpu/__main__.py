@@ -1,0 +1,4 @@
+from .utils.cli import main
+import sys
+
+sys.exit(main())

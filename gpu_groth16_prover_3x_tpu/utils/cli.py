@@ -1,0 +1,69 @@
+"""Command-line entry points mirroring the reference binaries.
+
+Reference argv contracts (build.sh:5-9):
+  generate_parameters [fast]                     (generate_parameters.cpp:125)
+  main <CURVE> compute <params> <input> <output> (main.cpp:342-366)
+  main <CURVE> preprocess <params>
+  cuda_prover_piecewise <CURVE> compute <params> <input> <output>
+                                                 (cuda_prover_piecewise.cu:232)
+
+Here:
+  python -m gpu_groth16_prover_3x_tpu generate_parameters [fast]
+      [--log2-d-4753 N] [--log2-d-6753 N] [--seed S] [--outdir DIR]
+  python -m gpu_groth16_prover_3x_tpu cpu <CURVE> compute <params> <input> <output>
+  python -m gpu_groth16_prover_3x_tpu cpu <CURVE> preprocess <params>
+  python -m gpu_groth16_prover_3x_tpu tpu <CURVE> compute <params> <input> <output>
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gpu_groth16_prover_3x_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    gen = sub.add_parser("generate_parameters",
+                         help="trusted setup + input files for both curves")
+    gen.add_argument("fast", nargs="?", default=None)
+    gen.add_argument("--log2-d-4753", type=int, default=None)
+    gen.add_argument("--log2-d-6753", type=int, default=None)
+    gen.add_argument("--seed", type=int, default=None)
+    gen.add_argument("--outdir", default=".")
+
+    for name, desc in (("cpu", "CPU oracle prover"),
+                       ("tpu", "TPU prover")):
+        pr = sub.add_parser(name, help=desc)
+        pr.add_argument("curve", choices=["MNT4753", "MNT6753"])
+        pr.add_argument("mode", choices=["compute", "preprocess"])
+        pr.add_argument("params_path")
+        pr.add_argument("input_path", nargs="?")
+        pr.add_argument("output_path", nargs="?")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "generate_parameters":
+        from ..models import setup as setup_model
+        setup_model.generate_all(
+            fast=(args.fast == "fast"), outdir=args.outdir,
+            log2_d_4753=args.log2_d_4753, log2_d_6753=args.log2_d_6753,
+            seed=args.seed)
+        return 0
+
+    if args.cmd == "cpu":
+        from ..models import cpu_prover
+        cpu_prover.main_mode(args.curve, args.mode, args.params_path,
+                             args.input_path, args.output_path)
+        return 0
+
+    if args.cmd == "tpu":
+        if args.mode != "compute":
+            print("tpu preprocess: use `cpu preprocess` (tables are "
+                  "device-agnostic files)", file=sys.stderr)
+            return 2
+        from ..models import tpu_prover
+        tpu_prover.run_prover(args.curve, args.params_path, args.input_path,
+                              args.output_path)
+        return 0
+
+    return 2

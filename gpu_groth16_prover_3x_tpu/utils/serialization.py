@@ -36,8 +36,18 @@ def write_size_t(f: BinaryIO, n: int) -> None:
     f.write(struct.pack("<Q", n))
 
 
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    """Fail fast on short reads, like the reference's abort() on fread
+    mismatch (multiexp/reduce.cu:203-205, prover_reference_functions.cpp
+    header checks)."""
+    b = f.read(n)
+    if len(b) != n:
+        raise EOFError(f"short read: wanted {n} bytes, got {len(b)}")
+    return b
+
+
 def read_size_t(f: BinaryIO) -> int:
-    return struct.unpack("<Q", f.read(8))[0]
+    return struct.unpack("<Q", _read_exact(f, 8))[0]
 
 
 def fq_to_bytes(x: int, p: int) -> bytes:
@@ -55,7 +65,7 @@ def write_fq(f: BinaryIO, x: int, p: int) -> None:
 
 
 def read_fq(f: BinaryIO, p: int) -> int:
-    return fq_from_bytes(f.read(FQ_BYTES), p)
+    return fq_from_bytes(_read_exact(f, FQ_BYTES), p)
 
 
 def write_fqe(f: BinaryIO, x: Tuple[int, ...], p: int) -> None:
@@ -193,3 +203,36 @@ def write_output(path: str, curve: CurveParams, a_affine, b_affine, c_affine
         write_g1(f, a_affine, p)
         write_g2(f, b_affine, p)
         write_g1(f, c_affine, p)
+
+
+def write_params(path: str, curve: CurveParams, d: int, m: int,
+                 A, B1, B2, L, H) -> None:
+    """generate_parameters.cpp:60-85 layout (affine inputs)."""
+    p = curve.fq.p
+    with open(path, "wb") as f:
+        write_size_t(f, d)
+        write_size_t(f, m)
+        assert len(A) == m + 1 and len(B1) == m + 1 and len(B2) == m + 1
+        assert len(L) == m - 1 and len(H) == d
+        for xy in A:
+            write_g1(f, xy, p)
+        for xy in B1:
+            write_g1(f, xy, p)
+        for xy in B2:
+            write_g2(f, xy, p)
+        for xy in L:
+            write_g1(f, xy, p)
+        for xy in H:
+            write_g1(f, xy, p)
+
+
+def write_input(path: str, curve: CurveParams, w, ca, cb, cc, r: int) -> None:
+    """generate_parameters.cpp:88-107 layout (standard-domain scalars)."""
+    rp = curve.fr.p
+    with open(path, "wb") as f:
+        for x in w:
+            write_fq(f, x, rp)
+        for vec in (ca, cb, cc):
+            for x in vec:
+                write_fq(f, x, rp)
+        write_fq(f, r, rp)
