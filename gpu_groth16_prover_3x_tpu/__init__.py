@@ -1,10 +1,20 @@
-"""TPU-native Groth16 prover for the MNT4753/MNT6753 curve cycle.
+"""TPU-native Groth16 prover framework (MNT4753 / MNT6753).
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities and file
-contracts of the CUDA SNARK-challenge prover (reference mounted at
-/root/reference): trusted setup + parameter generation, CPU oracle prover,
-preprocessed-table builder, and a TPU prover whose proof files are
-sha256-identical to the oracle's.
+Brand-new JAX/XLA implementation with the capabilities and I/O contracts
+of the reference CUDA prover (vezenovm/gpu-groth16-prover-3x); see
+SURVEY.md for the architecture map.
+
+Importing the package enables JAX's persistent compilation cache (if the
+user hasn't configured one): the 753-bit limb graphs are compile-heavy
+and identical across runs, so caching turns repeat CLI invocations from
+minutes of XLA work into milliseconds of cache hits — the moral analog of
+the reference shipping prebuilt binaries.
 """
 
-__version__ = "0.1.0"
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.expanduser("~/.cache/gpu_groth16_prover_3x_tpu/jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

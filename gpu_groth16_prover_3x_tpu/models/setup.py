@@ -18,9 +18,19 @@ from ..utils import serialization as ser
 
 def generate_parameters(curve: CurveParams, log2_d: int, params_path: str,
                         input_path: str, seed: Optional[int] = None,
-                        trapdoor_path: Optional[str] = None) -> None:
+                        trapdoor_path: Optional[str] = None,
+                        device: Optional[bool] = None) -> None:
     rng = random.Random(seed)
-    result = groth16.setup(curve, log2_d, rng)
+    # The device setup is byte-identical (tests/test_setup_device.py) and
+    # the only practical path at the reference's default sizes (2^15+);
+    # the pure-python oracle stays the default at tiny sizes.
+    if device is None:
+        device = log2_d >= 10
+    if device:
+        from . import setup_device
+        result = setup_device.setup(curve, log2_d, rng)
+    else:
+        result = groth16.setup(curve, log2_d, rng)
     ser.write_params(params_path, curve, result.d, result.m,
                      result.A, result.B1, result.B2, result.L, result.H)
     ser.write_input(input_path, curve, result.w, result.ca, result.cb,

@@ -1,0 +1,196 @@
+"""Device-accelerated trusted setup (generate_parameters).
+
+The reference generator spends its time in fixed-base windowed
+exponentiations over G1/G2 (libff batch_exp, multiexp.tcc:587-680, driven
+by r1cs_gg_ppzksnark.tcc:289-345).  The host-exact python version
+(host/msm.py) is the oracle but is impractical beyond ~2^10 scalars; this
+module runs the exponentiations on the TPU instead (SURVEY.md §2.4 P7:
+"table build as a one-time jitted program"):
+
+  batched double-and-add over the 768 scalar bits — a lax.scan whose body
+  is one complete doubling plus one masked complete mixed-add of the
+  shared affine base, vectorized over all scalars at once.  753-ish
+  sequential steps, each a full-lane-width VPU op: seconds per query at
+  2^16, far from the hours the python oracle would take.
+
+Only group-element equality matters for the serialized parameters (the
+file stores affine points), so the device path is interchangeable with
+the oracle — asserted in tests/test_setup_device.py.
+"""
+
+import random
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.constants import CurveParams, R
+from ..host import ec as host_ec
+from ..host import field as HF
+from ..host.fft import Radix2Domain
+from ..host.groth16 import SetupResult, Trapdoor, qap_instance_evaluation
+from ..host.r1cs import generate_r1cs_example_with_field_input, evaluate_lc
+from ..ops import limbs as L
+from ..ops.ec import get_curve_ops
+from ..ops.field import Fel
+from ..ops.msm import scalars_to_limbs
+from ..utils import native
+from ..utils import serialization as ser
+
+
+@jax.jit
+def _bits_from_limbs(limbs):
+    """(48, n) u32 16-bit limbs -> (768, n) u32 bit array, LSB first."""
+    shifts = jnp.arange(16, dtype=jnp.uint32)[None, :, None]
+    bits = (limbs[:, None, :] >> shifts) & 1
+    return bits.reshape(-1, limbs.shape[-1])
+
+
+def _exp_scan(cops, x2, y2, bits):
+    """Batched double-and-add: sum over bits (MSB->LSB Horner)."""
+    acc0 = cops.to_arrays(cops.zero((bits.shape[-1],)))
+
+    def step(acc_arrs, bit_row):
+        acc = cops.from_arrays(acc_arrs)
+        acc = cops.dbl(acc)
+        added = cops.mixed_add(acc, x2, y2)
+        acc = cops.select((bit_row == 0)[None, :], acc, added)
+        return cops.to_arrays(cops.normalize_k(acc)), None
+
+    out, _ = jax.lax.scan(step, acc0, jnp.flip(bits, axis=0))
+    return out
+
+
+def batch_exp_device(curve: CurveParams, group: str, base_pt,
+                     scalars: Sequence[int]) -> List:
+    """scalars * base (host Jacobian base point) -> host affine points.
+
+    Device double-and-add in the Montgomery domain; readback + one host
+    batch inversion for the affine normalization (the role of libff's
+    batch_to_special_all_non_zeros, mnt4753_g1.cpp:485-503).
+    """
+    cops = get_curve_ops(curve, group)
+    hg = (host_ec.g1_group(curve) if group == "g1"
+          else host_ec.g2_group(curve))
+    p = curve.fq.p
+    deg = cops.F.deg
+    n = len(scalars)
+
+    bx, by = hg.to_affine(base_pt)
+    if deg == 1:
+        x2 = Fel(jnp.asarray(L.int_to_limbs(bx * R % p)[:, None]), 1)
+        y2 = Fel(jnp.asarray(L.int_to_limbs(by * R % p)[:, None]), 1)
+    else:
+        x2 = tuple(Fel(jnp.asarray(
+            L.int_to_limbs(c * R % p)[:, None]), 1) for c in bx)
+        y2 = tuple(Fel(jnp.asarray(
+            L.int_to_limbs(c * R % p)[:, None]), 1) for c in by)
+
+    limbs = jnp.asarray(scalars_to_limbs([s % curve.fr.p for s in scalars]))
+    bits = _bits_from_limbs(limbs)
+    arrs = _exp_scan(cops, x2, y2, bits)
+
+    # readback: canonical Montgomery limbs
+    ctx = cops.F.ctx if deg == 1 else cops.F.base.ctx
+    rinv = pow(R, -1, p)
+    mont_rows = []    # (n, 12) u64 Montgomery rows per coordinate array
+    for a in arrs:
+        can = np.asarray(L.to_canonical(ctx, a, cops.coord_k))
+        mont_rows.append(ser.u16x48_to_u64(can.T))
+
+    if deg == 1:
+        # native batch normalization: ONE modular inverse for the batch
+        ox, oy = native.batch_affine(mont_rows[0], mont_rows[1],
+                                     mont_rows[2], p)
+        xs = native.mont_decode(ox, p)
+        ys = native.mont_decode(oy, p)
+        return [(int.from_bytes(x.tobytes(), "little"),
+                 int.from_bytes(y.tobytes(), "little"))
+                for x, y in zip(xs, ys)]
+
+    def coord(idx):
+        cols = []
+        for a in mont_rows[idx * deg:(idx + 1) * deg]:
+            std = native.mont_decode(a, p)
+            cols.append([int.from_bytes(r.tobytes(), "little")
+                         for r in std])
+        return list(zip(*cols))
+
+    xs, ys, zs = coord(0), coord(1), coord(2)
+    alpha = curve.non_residue
+    # norm-based batch inversion: inv(z) = conj-ish via norms is messy for
+    # deg 3; G2 batches are the same size but field ops are python-cheap
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if all(c == 0 for c in z):
+            out.append((tuple([0] * deg), tuple([0] * deg)))
+            continue
+        zi = HF.e_inv(z, p, alpha)
+        out.append((HF.e_mul(x, zi, p, alpha), HF.e_mul(y, zi, p, alpha)))
+    return out
+
+
+def setup(curve: CurveParams, log2_d: int,
+          rng: random.Random = None) -> SetupResult:
+    """Device-accelerated generate_paramaters
+    (libsnark/generate_parameters.cpp:23-123): identical randomness
+    consumption and outputs to host/groth16.setup, with the five query
+    exponentiations on the TPU."""
+    rng = rng or random.Random()
+    r_mod = curve.fr.p
+    d_plus_1 = 1 << log2_d
+    d = d_plus_1 - 1
+
+    cs, primary, auxiliary = generate_r1cs_example_with_field_input(
+        r_mod, d - 1, 1, rng)
+    full_assignment = primary + auxiliary
+    m = cs.num_variables
+
+    cs.swap_ab_if_beneficial()
+    t = rng.randrange(1, r_mod)
+    alpha = rng.randrange(1, r_mod)
+    beta = rng.randrange(1, r_mod)
+    delta = rng.randrange(1, r_mod)
+    delta_inv = pow(delta, -1, r_mod)
+
+    domain = Radix2Domain(curve.fr, cs.num_constraints + cs.num_inputs + 1)
+    at, bt, ct, zt = qap_instance_evaluation(cs, domain, t)
+
+    lt = [(beta * at[i] + alpha * bt[i] + ct[i]) * delta_inv % r_mod
+          for i in range(cs.num_inputs + 1, m + 1)]
+    zt_dinv = zt * delta_inv % r_mod
+    ht, ti = [], 1
+    for _ in range(d):
+        ht.append(ti * zt_dinv % r_mod)
+        ti = ti * t % r_mod
+
+    g1 = host_ec.g1_group(curve)
+    g1_dlog = rng.randrange(1, r_mod)
+    g1_gen = g1.mul(g1_dlog, host_ec.g1_generator(curve))
+    g2_gen = host_ec.g2_generator(curve)
+
+    A_aff = batch_exp_device(curve, "g1", g1_gen, at)
+    B1_aff = batch_exp_device(curve, "g1", g1_gen, bt)
+    B2_aff = batch_exp_device(curve, "g2", g2_gen, bt)
+    L_aff = batch_exp_device(curve, "g1", g1_gen, lt)
+    H_aff = batch_exp_device(curve, "g1", g1_gen, ht)
+
+    w = [1] + [x % r_mod for x in full_assignment]
+    ca = [0] * d_plus_1
+    cb = [0] * d_plus_1
+    cc = [0] * d_plus_1
+    for i in range(cs.num_inputs + 1):
+        ca[i + cs.num_constraints] = (
+            1 if i == 0 else full_assignment[i - 1] % r_mod)
+    for i, cons in enumerate(cs.constraints):
+        ca[i] = (ca[i] + evaluate_lc(cons.a, full_assignment, r_mod)) % r_mod
+        cb[i] = (cb[i] + evaluate_lc(cons.b, full_assignment, r_mod)) % r_mod
+        cc[i] = (cc[i] + evaluate_lc(cons.c, full_assignment, r_mod)) % r_mod
+    r = rng.randrange(r_mod)
+
+    return SetupResult(
+        d=d, m=m, A=A_aff, B1=B1_aff, B2=B2_aff, L=L_aff, H=H_aff,
+        w=w, ca=ca, cb=cb, cc=cc, r=r,
+        trapdoor=Trapdoor(t, alpha, beta, delta, g1_dlog, at, bt, ct, zt),
+    )

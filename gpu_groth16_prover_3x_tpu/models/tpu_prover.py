@@ -1,0 +1,265 @@
+"""The TPU Groth16 prover: the framework's flagship "model".
+
+TPU-native analog of the reference GPU prover's run_prover
+(cuda_prover_piecewise.cu:96-230).  Differences by design:
+
+  * The reference splits work CPU/GPU (A- and H-MSM + FFT pipeline on
+    OpenMP, B1/B2/L MSMs on CUDA streams, README.md:77).  On TPU all five
+    MSMs and the full H pipeline run on-device; XLA's async dispatch plays
+    the role of the three CUDA streams (SURVEY.md §2.4 P4/P5).
+  * Points/scalars load as raw Montgomery limb dumps and are *bitcast* to
+    the device limb format (12x u64 -> 48x u16), since the device
+    Montgomery radix R = 2^768 equals the file format's
+    (libsnark/serialization.hpp:22-32) — no host-side modular math on the
+    bulk data at all.  The reference does the same thing with
+    fread-into-managed-memory (multiexp/reduce.cu:211-271).
+  * MSM is Pippenger (ops/msm.py), not table-based Straus, so no
+    preprocessed-table file is required for proving (the reference needs
+    `<CURVE>_preprocessed`, main.cpp:311-339; we keep that tool for format
+    parity in utils/preprocess.py).
+
+Proof formula (challenge-simplified Groth16, NO s-randomness —
+libsnark/main.cpp:219):  A = w*A_query,  B = w*B2_query,
+C = H(x)*H_query + w_aux*L_query + r * (w*B1_query).
+"""
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.constants import CurveParams
+from ..host import ec as host_ec
+from ..ops import limbs as L
+from ..ops.ec import CurveOps
+from ..ops.field import Fel
+from ..ops.msm import (DEFAULT_CHUNK, finalize_msm, msm_window_sums,
+                       pad_rows, window_sums_to_host)
+from ..ops.ntt import compute_h_device, get_plan
+from ..utils import serialization as ser
+from ..utils.profiling import enter_block, leave_block
+
+
+# -- raw-limb parameter/input containers ---------------------------------------
+
+@dataclass
+class DeviceParams:
+    """Groth16 parameters as device-feedable limb arrays.
+
+    Mirrors groth16_parameters (libsnark/main.cpp:27-46) but in the
+    packed-row uint16 layout ops/msm.py consumes.
+    """
+    d: int
+    m: int
+    A: np.ndarray     # (m+1, 2*48)  u16 G1 affine rows
+    B1: np.ndarray    # (m+1, 2*48)
+    B2: np.ndarray    # (m+1, 2*deg*48)
+    L: np.ndarray     # (m-1, 2*48)
+    H: np.ndarray     # (d,   2*48)
+
+
+@dataclass
+class DeviceInput:
+    """Prover input as raw Montgomery limb arrays (+ host scalar r)."""
+    w_mont: np.ndarray    # (m+1, 48) u32 — Montgomery limbs straight off disk
+    ca: np.ndarray        # (d+1, 48)
+    cb: np.ndarray
+    cc: np.ndarray
+    r: int                # standard-domain
+
+
+def _read_g1_rows(f, count: int) -> np.ndarray:
+    raw = ser.read_raw_u64(f, count * 2).reshape(count, 2, 12)
+    return ser.u64_to_u16x48(raw).reshape(count, 2 * 48).astype(np.uint16)
+
+
+def _read_g2_rows(f, count: int, deg: int) -> np.ndarray:
+    raw = ser.read_raw_u64(f, count * 2 * deg).reshape(count, 2 * deg, 12)
+    return ser.u64_to_u16x48(raw).reshape(count, 2 * deg * 48).astype(
+        np.uint16)
+
+
+def load_params(path: str, curve: CurveParams) -> DeviceParams:
+    """Bulk parameter load (layout: generate_parameters.cpp:60-85)."""
+    deg = curve.ext_degree
+    with open(path, "rb") as f:
+        d = ser.read_size_t(f)
+        m = ser.read_size_t(f)
+        A = _read_g1_rows(f, m + 1)
+        B1 = _read_g1_rows(f, m + 1)
+        B2 = _read_g2_rows(f, m + 1, deg)
+        Lq = _read_g1_rows(f, m - 1)
+        H = _read_g1_rows(f, d)
+    return DeviceParams(d, m, A, B1, B2, Lq, H)
+
+
+def load_input(path: str, curve: CurveParams, d: int, m: int) -> DeviceInput:
+    """Bulk input load (layout: generate_parameters.cpp:88-107)."""
+    with open(path, "rb") as f:
+        w = ser.u64_to_u16x48(ser.read_raw_u64(f, m + 1))
+        ca = ser.u64_to_u16x48(ser.read_raw_u64(f, d + 1))
+        cb = ser.u64_to_u16x48(ser.read_raw_u64(f, d + 1))
+        cc = ser.u64_to_u16x48(ser.read_raw_u64(f, d + 1))
+        r = ser.read_fq(f, curve.fr.p)
+    return DeviceInput(w, ca, cb, cc, r)
+
+
+def params_from_host(curve: CurveParams, hp) -> DeviceParams:
+    """Host-int Groth16Params -> device rows (test path)."""
+    from ..ops.msm import affine_points_to_rows
+    p, deg = curve.fq.p, curve.ext_degree
+    return DeviceParams(
+        hp.d, hp.m,
+        affine_points_to_rows(hp.A, p, 1),
+        affine_points_to_rows(hp.B1, p, 1),
+        affine_points_to_rows(hp.B2, p, deg),
+        affine_points_to_rows(hp.L, p, 1),
+        affine_points_to_rows(hp.H, p, 1),
+    )
+
+
+def input_from_host(curve: CurveParams, hi) -> DeviceInput:
+    """Host-int Groth16Input -> device limb arrays (test path)."""
+    p = curve.fr.p
+    return DeviceInput(
+        ser.ints_to_u16x48(hi.w, p, to_montgomery=True),
+        ser.ints_to_u16x48(hi.ca, p, to_montgomery=True),
+        ser.ints_to_u16x48(hi.cb, p, to_montgomery=True),
+        ser.ints_to_u16x48(hi.cc, p, to_montgomery=True),
+        hi.r,
+    )
+
+
+# -- the prover ------------------------------------------------------------------
+
+def _from_monty_keys(fr_ops, mont_rows: np.ndarray) -> jnp.ndarray:
+    """(n, 48) Montgomery limbs -> (48, n) standard-domain digit limbs.
+
+    Device-side Fr::from_monty (the reference converts scalars out of
+    Montgomery on-device too, multiexp/reduce.cu:36)."""
+    x = Fel(jnp.asarray(np.ascontiguousarray(mont_rows.T)
+                        .astype(np.uint32)), 1)
+    one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
+    return fr_ops.mul(x, Fel(one_std, 1)).v
+
+
+def _pad_to_chunks(arr: np.ndarray, chunk_s: int) -> np.ndarray:
+    n = arr.shape[0]
+    n_pad = max(chunk_s, ((n + chunk_s - 1) // chunk_s) * chunk_s)
+    return pad_rows(arr, n_pad)
+
+
+def _pad_keys(keys, n_pad: int):
+    n = keys.shape[1]
+    if n == n_pad:
+        return keys
+    return jnp.pad(keys, ((0, 0), (0, n_pad - n)))
+
+
+def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
+          chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
+          c: int = None):
+    """Full proof; returns affine (A, B2, C) host tuples.
+
+    Call structure mirrors run_prover (cuda_prover_piecewise.cu:96-230);
+    all heavy compute is device-resident, the final scalar-sized assembly
+    C = Ht + Lt + r*Bt1 is exact host arithmetic like the reference's
+    post-sync CPU epilogue (:188-200).
+    """
+    from ..ops.ec import get_curve_ops
+    from ..ops.field import fr_ops as mk_fr
+    g1 = get_curve_ops(curve, "g1")
+    g2 = get_curve_ops(curve, "g2")
+    frops = mk_fr(curve)
+    hg1 = host_ec.g1_group(curve)
+    hg2 = host_ec.g2_group(curve)
+    d, m = params.d, params.m
+    if c is None:
+        # the 2^c-bucket reduction is O(2^c) EC ops per window: pick the
+        # small window when n is small so it cannot dominate
+        c = 16 if m >= (1 << 16) else 8
+    # keep enough chunks (lanes) busy at small sizes
+    chunk_s = min(chunk_s, max(8, (2 * m) // 128))
+
+    enter_block("H pipeline (device NTT)")
+    plan = get_plan(curve.fr, d + 1)
+    ca = jnp.asarray(np.ascontiguousarray(inputs.ca.T).astype(np.uint32))
+    cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
+    cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
+    _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
+    leave_block("H pipeline (device NTT)")
+
+    enter_block("scalar from_monty (device)")
+    w_keys = _from_monty_keys(frops, inputs.w_mont)  # (48, m+1)
+    leave_block("scalar from_monty (device)")
+
+    enter_block("MSMs (device Pippenger)")
+    # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1, B2, L
+    # on three CUDA streams and A, H on the CPU — here the four G1 MSMs
+    # share a single sort/scan/reduce pass, cuda_prover_piecewise.cu:162-179)
+    p = curve.fq.p
+    g1_rows_np = np.concatenate([
+        params.A[:m + 1], params.B1[:m + 1], params.L[:m - 1],
+        params.H[:d]])
+    n_tot = g1_rows_np.shape[0]
+    n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
+    g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
+    g1_keys = jnp.concatenate([
+        w_keys[:, :m + 1], w_keys[:, :m + 1],
+        w_keys[:, primary_input_size + 1:m + 1], h_std[:, :d],
+        jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
+    seg_np = np.concatenate([
+        np.full(m + 1, 0), np.full(m + 1, 1), np.full(m - 1, 2),
+        np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
+    ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
+                            jnp.asarray(seg_np), 4)
+
+    n2 = m + 1
+    n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
+    b2_rows = jnp.asarray(pad_rows(params.B2[:n2], n2_pad))
+    b2_keys = _pad_keys(w_keys[:, :n2], n2_pad)
+    ws_B2 = msm_window_sums(g2, b2_keys, b2_rows, chunk_s, c)
+    leave_block("MSMs (device Pippenger)")
+
+    enter_block("readback + host assembly")
+    g1_pts = window_sums_to_host(g1, ws_g1, hg1, p, num_msms=4)
+    At = finalize_msm(hg1, g1_pts[0])
+    Bt1 = finalize_msm(hg1, g1_pts[1])
+    Lt = finalize_msm(hg1, g1_pts[2])
+    Ht = finalize_msm(hg1, g1_pts[3])
+    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p))
+
+    C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
+    out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))
+    leave_block("readback + host assembly")
+    return out
+
+
+def run_prover(curve_name: str, params_path: str, input_path: str,
+               output_path: str) -> None:
+    """CLI adapter (utils/cli.py `tpu <CURVE> compute ...`)."""
+    from ..curves.constants import CURVES
+    prove_files(CURVES[curve_name], params_path, input_path, output_path)
+
+
+def prove_files(curve: CurveParams, params_path: str, input_path: str,
+                output_path: str, chunk_s: int = DEFAULT_CHUNK) -> None:
+    """CLI entry: the TPU equivalent of
+    `cuda_prover_piecewise <CURVE> compute params input output`
+    (cuda_prover_piecewise.cu:232-259), with the same phase-timer output
+    labels as its print_time calls (:143-208)."""
+    t0 = time.time()
+    params = load_params(params_path, curve)
+    print(f"load params: {time.time() - t0:.3f}s", flush=True)
+    t1 = time.time()
+    inputs = load_input(input_path, curve, params.d, params.m)
+    print(f"load inputs: {time.time() - t1:.3f}s", flush=True)
+    t2 = time.time()
+    proof = prove(curve, params, inputs, chunk_s)
+    print(f"prove (tpu e2e): {time.time() - t2:.3f}s", flush=True)
+    t3 = time.time()
+    ser.write_output(output_path, curve, *proof)
+    print(f"store: {time.time() - t3:.3f}s", flush=True)
+    print(f"total: {time.time() - t0:.3f}s", flush=True)

@@ -1,0 +1,277 @@
+"""Device (TPU) 753-bit limb arithmetic: the vector analog of the
+reference's device bignum stack (multiexp/primitives.cu, fixnum.cu,
+arith.cu L0-L2 in SURVEY.md).
+
+TPU-native design — NOT a port of the CUDA code:
+
+  * The GPU spreads one 768-bit integer over a 16-thread tile, one 64-bit
+    limb per lane, with hardware carry flags and warp shuffles
+    (multiexp/fixnum.cu:14-17, arith.cu:289-337).  TPUs have neither carry
+    flags nor a 64x64 multiplier, so here one element is a column of
+    **48 x 16-bit limbs stored in uint32 lanes**, shape ``(48, *batch)``:
+    limbs ride the sublane axis, the batch rides the 128-wide lane axis,
+    so every limb op is a fully dense VPU op over the batch.
+
+  * 16-bit limb products fit exactly in uint32 (no widening multiply
+    needed); carries are **lazy**: accumulator limbs grow toward 2^32 and
+    are folded down by cheap local passes, with a final Kogge-Stone
+    (log-depth prefix) pass producing exact 16-bit limbs.  This replaces
+    the warp-ballot carry resolution of fixnum.cu:185-197.
+
+  * Montgomery radix R = 2^768 = (2^16)^48 — exactly the radix of the
+    reference's serialized format (libsnark/serialization.hpp:22-32), so
+    file limbs map to device limbs by pure bit-rechunking and the whole
+    prover pipeline stays in the Montgomery domain end to end.
+
+Values are kept in **loose Montgomery form**: canonical 16-bit limbs, but
+the value may exceed p (bound tracked statically in units of p by the
+field layer, ops/field.py).  mont_mul tolerates inputs up to ~2^13 * p
+because ab < R*p suffices for the reduction bound.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+NUM_LIMBS = 48          # 48 * 16 = 768 bits
+MASK = jnp.uint32(0xFFFF)
+U32 = jnp.uint32
+
+
+# -- host-side limb (de)composition ------------------------------------------
+
+def int_to_limbs(x: int, n: int = NUM_LIMBS) -> np.ndarray:
+    """Python int -> (n,) uint32 array of 16-bit limbs, little-endian."""
+    assert 0 <= x < (1 << (LIMB_BITS * n))
+    return np.array([(x >> (LIMB_BITS * i)) & 0xFFFF for i in range(n)],
+                    dtype=np.uint32)
+
+def limbs_to_int(v) -> int:
+    """(n, ...) limb array (one element; trailing dims squeezed) -> int."""
+    arr = np.asarray(v).reshape(np.asarray(v).shape[0], -1)
+    assert arr.shape[1] == 1, "limbs_to_int takes a single element"
+    return sum(int(d) << (LIMB_BITS * i) for i, d in enumerate(arr[:, 0]))
+
+
+# -- carry resolution ---------------------------------------------------------
+
+def _shift_up(x, s: int):
+    """Limb-axis shift toward higher significance: out[j] = x[j-s]."""
+    pad = jnp.zeros((s,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-s]], axis=0)
+
+
+def lazy_pass(t):
+    """One local carry fold: t[j] := (t[j] & 0xffff) + (t[j-1] >> 16).
+
+    Any limbs < 2^32 become < 2^17.  The top limb's carry-out moves into
+    the limb above, so callers must size their buffers with headroom.
+    """
+    return (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
+
+
+def canon(t, drop_top: bool = False):
+    """Exact canonicalization: lazy limbs (< 2^32) -> exact 16-bit limbs.
+
+    One local pass brings limbs under 2^17, then a Kogge-Stone
+    generate/propagate prefix (log2(48) -> 6 doubling steps) resolves the
+    remaining 0/1 carry ripple exactly — the TPU analog of
+    fixnum.cu:185-197's ballot trick, with no cross-lane traffic at all.
+
+    If ``drop_top`` the carry out of the top limb is discarded (arithmetic
+    mod 2^(16*n), used by complement-based subtraction); otherwise the
+    caller guarantees the value fits.
+    """
+    v = lazy_pass(t)               # limbs < 2^17
+    lo = v & MASK
+    g = v >> LIMB_BITS             # generate: 0 or 1
+    p = (lo == MASK).astype(U32)   # propagate
+    s = 1
+    while s < v.shape[0]:
+        g = g | (p & _shift_up(g, s))
+        p = p & _shift_up(p, s)
+        s *= 2
+    carry_in = _shift_up(g, 1)
+    return (lo + carry_in) & MASK
+
+
+# -- Montgomery context -------------------------------------------------------
+
+class MontCtx:
+    """Per-prime device constants for loose-Montgomery limb arithmetic.
+
+    The reference keeps the analogous data in CUDA __constant__ memory
+    (multiexp/arith.cu:5-77: MOD_Q/MOD_R, ninv_mod, R^2); here they are
+    small host numpy arrays closed over by jitted functions.
+    """
+
+    def __init__(self, p: int):
+        assert p.bit_length() <= LIMB_BITS * NUM_LIMBS - 8
+        self.p = p
+        self.ninv16 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.r = (1 << (LIMB_BITS * NUM_LIMBS)) % p
+        self.r2 = (self.r * self.r) % p
+        # (50,1) zero-padded modulus for the CIOS accumulator
+        self.p_limbs50 = np.concatenate(
+            [int_to_limbs(p), np.zeros(2, np.uint32)])[:, None]
+        self.one_mont = int_to_limbs(self.r)[:, None]
+        self.r2_limbs = int_to_limbs(self.r2)[:, None]
+        self._kp_cache = {}
+
+    def kp_limbs(self, k: int, n: int = NUM_LIMBS) -> np.ndarray:
+        """(n,1) canonical limbs of k*p (subtraction offsets)."""
+        key = (k, n)
+        if key not in self._kp_cache:
+            v = k * self.p
+            assert v < (1 << (LIMB_BITS * n))
+            self._kp_cache[key] = int_to_limbs(v, n)[:, None]
+        return self._kp_cache[key]
+
+    def sub_const(self, k: int, c: int) -> np.ndarray:
+        """(48,1) limbs of (k*p - c*U) mod 2^768, U = sum_j 2^16j.
+
+        Lazy-operand subtraction: for b with limbs <= c,
+           a - b + k*p  ==  a + (c - b_limbs) + sub_const(k, c)  (mod 2^768)
+        because sum_j (c - b_j) 2^16j = c*U - b.  The mod-2^768 wrap is
+        dropped exactly by canonicalization (result in [0, 2^768) by the
+        callers' value bounds), so NO carry resolution is needed at all.
+        """
+        key = ("subc", k, c)
+        if key not in self._kp_cache:
+            u = ((1 << 768) - 1) // 0xFFFF       # sum of 2^16j
+            v = (k * self.p - c * u) % (1 << 768)
+            self._kp_cache[key] = int_to_limbs(v)[:, None]
+        return self._kp_cache[key]
+
+
+# -- core ops (all take/return canonical 16-bit limbs, shape (48, *batch)) ----
+
+def mont_mul(ctx: MontCtx, a, b):
+    """Montgomery product dispatch: Pallas kernel on TPU, XLA scan
+    elsewhere (ops/pallas_kernels.py holds the VMEM-resident version)."""
+    from . import pallas_kernels as PK
+    if PK.pallas_available():
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
+        b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
+        return PK.mont_mul_pallas(ctx, a, b)
+    return _mont_mul_xla(ctx, a, b)
+
+
+@partial(jax.jit, static_argnums=(0,), inline=True)
+def _mont_mul_xla(ctx: MontCtx, a, b):
+    """CIOS Montgomery product a*b*R^-1 mod-ish p (result < p + ab/R < 2p
+    whenever a*b < R*p; exact equality as integers mod p).
+
+    The loop mirrors the mathematical spec of the reference's Fp::mul
+    (multiexp/arith.cu:289-337) at radix 2^16 with lazy carries:
+      per iteration, add a_i * b, fold carries, derive m from the low
+      limb, add m * p, fold, shift the accumulator down one limb.
+    All per-iteration vector ops act on the full (50, batch) block.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
+    b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
+    bpad = jnp.concatenate([b, jnp.zeros((2,) + batch, U32)], axis=0)
+    p50 = jnp.asarray(ctx.p_limbs50).reshape((50,) + (1,) * len(batch))
+    ninv = jnp.uint32(ctx.ninv16)
+
+    def step(t, ai):
+        t = t + ai * bpad                    # limbs <= 2^32 - 1 exactly
+        t = lazy_pass(t)                     # limbs < 2^17
+        m = (t[:1] * ninv) & MASK            # (1, batch)
+        t = t + m * p50
+        t = lazy_pass(t)
+        # low limb is now 0 mod 2^16 and was fully folded: shift down
+        t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
+        return t, None
+
+    t0 = jnp.zeros((NUM_LIMBS + 2,) + batch, U32)
+    t, _ = jax.lax.scan(step, t0, a.reshape((NUM_LIMBS, 1) + batch))
+    return canon(t)[:NUM_LIMBS]
+
+
+def mont_sqr(ctx: MontCtx, a):
+    return mont_mul(ctx, a, a)
+
+
+def add(a, b):
+    """Lazy sum -> canonical limbs.  Value bound is the callers' concern."""
+    return canon(a + b)
+
+
+def sub(ctx: MontCtx, a, b, k_b: int):
+    """a - b + k_b*p (so the result is nonnegative when b < k_b*p).
+
+    Complement trick: a + (~b) + 1 + k_b*p computed mod 2^768 — the
+    guaranteed 2^768 overflow is dropped by canon(drop_top=True).
+    """
+    kp = jnp.asarray(ctx.kp_limbs(k_b)).reshape(
+        (NUM_LIMBS,) + (1,) * (a.ndim - 1))
+    s = a + (MASK - b) + kp
+    s = s.at[0].add(1)
+    return canon(s, drop_top=True)
+
+
+def small_mul(a, c: int):
+    """a * c for small static c (c <= 2^12): lazy limb scaling + canon.
+
+    The analog of the reference's compile-time mul_<n> addition chains
+    (multiexp/arith.cu:81-216) — on the VPU a plain vector multiply is
+    one op, so no chains are needed.
+    """
+    assert 0 < c < (1 << 12)
+    return canon(a * jnp.uint32(c))
+
+
+def cond_sub_kp(ctx: MontCtx, x, k: int):
+    """x - k*p if x >= k*p else x (one compare-subtract pass)."""
+    batch = x.shape[1:]
+    kp = jnp.asarray(ctx.kp_limbs(k)).reshape((NUM_LIMBS,) + (1,) * len(batch))
+    s = jnp.concatenate([x + (MASK - kp), jnp.zeros((1,) + batch, U32)], 0)
+    s = s.at[0].add(1)
+    s = canon(s)                      # 49 limbs; limb 48 == 1 iff x >= k*p
+    ge = s[NUM_LIMBS:NUM_LIMBS + 1] > 0
+    return jnp.where(ge, s[:NUM_LIMBS], x)
+
+
+def reduce_bound(ctx: MontCtx, x, k_from: int, k_to: int = 2):
+    """Bring a value < k_from*p under k_to*p by halving compare-subtracts.
+
+    Each pass subtracts ceil(k/2)*p when possible, so the bound halves:
+    new bound = max(ceil(k/2), k - ceil(k/2)) = ceil(k/2).
+    """
+    k = k_from
+    while k > k_to:
+        step = (k + 1) // 2
+        x = cond_sub_kp(ctx, x, step)
+        k = step
+    return x
+
+
+def to_canonical(ctx: MontCtx, x, k_from: int):
+    """Fully reduce below p (for final outputs / equality tests).
+
+    Accepts lazy limbs; first pass canonicalizes the limb form, then
+    compare-subtract passes reduce the value below p."""
+    x = canon(x)
+    x = reduce_bound(ctx, x, k_from, 2) if k_from > 2 else x
+    x = cond_sub_kp(ctx, x, 1)
+    return canon(x)
+
+
+def select(mask, a, b):
+    """Elementwise select on (..., batch) masks broadcast over limbs.
+
+    mask: boolean with shape broadcastable to a/b's batch dims (i.e. a
+    leading length-1 limb axis).
+    """
+    return jnp.where(mask, a, b)
+
+
+def is_zero(x):
+    """Exact zero test for canonical limbs, shape (1, *batch) bool."""
+    return jnp.all(x == 0, axis=0, keepdims=True)

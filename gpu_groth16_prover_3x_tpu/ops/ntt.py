@@ -1,0 +1,165 @@
+"""Device NTT (finite-field FFT) over Fr and the H-polynomial pipeline.
+
+TPU-native replacement for libfqfft's CPU radix-2 evaluation domain
+(depends/libfqfft/libfqfft/evaluation_domain/domains/
+basic_radix2_domain.tcc and basic_radix2_domain_aux.tcc:167-203): the
+reference runs iFFT/cosetFFT/divide-by-Z on OpenMP threads *overlapped
+with the GPU MSMs* (cuda_prover_piecewise.cu:14-49, README.md:77); here
+the whole pipeline is device-resident so the prover's polynomial work
+rides the same chip as the MSMs with no host round-trip.
+
+Algorithm: radix-2 decimation-in-time expressed as pure reshape/concat
+stages — the decimation hierarchy S_l[t, g] = x[t*2^l + g] is *exactly* a
+row-major reshape, so descending costs nothing and each ascent stage is
+one vectorized butterfly over all n/2 lanes:
+
+    E, O  = child[:, 0, :], child[:, 1, :]       (view (M', 2, 2^l))
+    t     = O * w     with  w[k] = omega^(2^l * k)  (strided twiddle slice)
+    out   = concat(E + t, E - t)
+
+Natural order in, natural order out — no bit-reversal permutation and no
+lane gathers at all (the data movement is folded into reshapes/concats
+that XLA lowers to cheap relayouts).  This is the single-chip analog of
+the two-stage parallel decomposition at basic_radix2_domain_aux.tcc:216-295
+whose multi-chip all_to_all version lives in parallel/ntt.py.
+
+Twiddle/coset tables are host-precomputed uint16 Montgomery limb arrays,
+cached per (field, size) — the analog of libff's cached root-of-unity
+computations (field_utils.tcc get_root_of_unity).
+"""
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.constants import FieldParams, get_root_of_unity
+from . import limbs as L
+from .field import Fel, FpOps  # noqa: F401
+
+
+# -- host-side table precomputation --------------------------------------------
+
+from .field import fp_ops as _fp_ops  # shared per-field instance cache
+
+
+@lru_cache(maxsize=None)
+def _power_table(p: int, r: int, base: int, count: int) -> np.ndarray:
+    """(48, count) uint16 Montgomery limbs of base^i, i = 0..count-1."""
+    out = np.empty((L.NUM_LIMBS, count), dtype=np.uint16)
+    acc = 1
+    for i in range(count):
+        out[:, i] = L.int_to_limbs(acc * r % p).astype(np.uint16)
+        acc = acc * base % p
+    return out
+
+
+@lru_cache(maxsize=None)
+def get_plan(fp: FieldParams, n: int) -> "NttPlan":
+    """Cached plan per (field, size) so jit sees one static instance."""
+    return NttPlan(fp, n)
+
+
+class NttPlan:
+    """Precomputed tables for one (field, n) forward+inverse NTT pair."""
+
+    def __init__(self, fp: FieldParams, n: int):
+        assert n & (n - 1) == 0
+        self.fp = fp
+        self.n = n
+        self.F = _fp_ops(fp)
+        p, r = fp.p, self.F.ctx.r
+        omega = get_root_of_unity(fp, n)
+        self.omega = omega
+        self.tw_fwd = _power_table(p, r, omega, max(n // 2, 1))
+        self.tw_inv = _power_table(p, r, pow(omega, -1, p), max(n // 2, 1))
+        self.n_inv = self.F.const(pow(n, -1, p))
+        g = fp.multiplicative_generator
+        self.coset = _power_table(p, r, g, n)
+        self.coset_inv = _power_table(p, r, pow(g, -1, p), n)
+        # Z(coset pts) = g^n - 1 (constant on the coset): its inverse
+        self.z_coset_inv = self.F.const(pow(pow(g, n, p) - 1, -1, p))
+
+
+# -- core transform -------------------------------------------------------------
+
+def _ntt(F: FpOps, x: Fel, tw) -> Fel:
+    """In-field DFT: y_k = sum_j x_j omega^(jk); x limbs (48, n)."""
+    x = F.canon_limbs(x)
+    n = x.v.shape[-1]
+    logn = n.bit_length() - 1
+    v = x.v.reshape((L.NUM_LIMBS, 1, n))  # (limbs, M=1 ... runs, 2^l groups)
+    k = x.k
+    for l in range(logn - 1, -1, -1):
+        limbs, mp, g2 = v.shape            # child: (48, M', 2^(l+1))
+        v = v.reshape(limbs, mp, 2, g2 // 2)
+        E, O = v[:, :, 0, :], v[:, :, 1, :]
+        w = tw[:, :: (1 << l)][:, :mp]      # (48, M') omega^(2^l * k)
+        t = F.mul(Fel(O, k), Fel(w[:, :, None].astype(jnp.uint32), 1))
+        Ef = Fel(E, k)
+        hi = F.add(Ef, t)
+        lo = F.sub(Ef, t)
+        hi = F.reduce(hi, 2)
+        lo = F.reduce(lo, 2)
+        v = jnp.concatenate([hi.v, lo.v], axis=1)  # (48, 2M', 2^l)
+        k = 2
+    return Fel(v.reshape(L.NUM_LIMBS, n), k)
+
+
+def ntt(plan: NttPlan, x: Fel) -> Fel:
+    return _ntt(plan.F, x, jnp.asarray(plan.tw_fwd))
+
+
+def intt(plan: NttPlan, x: Fel) -> Fel:
+    y = _ntt(plan.F, x, jnp.asarray(plan.tw_inv))
+    return plan.F.mul(y, plan.n_inv)
+
+
+def coset_fft(plan: NttPlan, x: Fel) -> Fel:
+    """FFT on the coset g*<omega> (basic_radix2_domain.tcc:84-89)."""
+    scaled = plan.F.mul(x, Fel(jnp.asarray(plan.coset).astype(jnp.uint32), 1))
+    return ntt(plan, scaled)
+
+
+def icoset_fft(plan: NttPlan, x: Fel) -> Fel:
+    """Inverse coset FFT (basic_radix2_domain.tcc:91-97)."""
+    y = intt(plan, x)
+    return plan.F.mul(
+        y, Fel(jnp.asarray(plan.coset_inv).astype(jnp.uint32), 1))
+
+
+def divide_by_z_on_coset(plan: NttPlan, x: Fel) -> Fel:
+    """Multiply by Z(g*omega^i)^-1 = (g^n - 1)^-1, constant on the coset
+    (basic_radix2_domain.tcc:126-134)."""
+    return plan.F.mul(x, plan.z_coset_inv)
+
+
+# -- the H-polynomial pipeline ----------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def compute_h_device(plan: NttPlan, ca, cb, cc):
+    """The witness-map H pipeline, entirely on device.
+
+    Semantics of compute_H (libsnark/main.cpp:89-148 /
+    cuda_prover_piecewise.cu:14-49): iFFT -> cosetFFT on a and b,
+    pointwise H = a*b - cosetFFT(iFFT(c)), divide by Z on the coset,
+    icosetFFT.  Inputs/outputs: (48, n) uint32 Montgomery limbs.
+
+    Returns (h_mont, h_std): Montgomery coefficients and standard-domain
+    digit limbs (the MSM keys), both (48, n).
+    """
+    F = plan.F
+    a = coset_fft(plan, intt(plan, Fel(ca, 1)))
+    b = coset_fft(plan, intt(plan, Fel(cb, 1)))
+    h = F.mul(a, b)
+    c = coset_fft(plan, intt(plan, Fel(cc, 1)))
+    h = F.sub(h, c)
+    h = divide_by_z_on_coset(plan, h)
+    h = icoset_fft(plan, h)
+    h = F.reduce(h, 2)
+    # standard-domain digits for the H MSM: x * R^-1 via mont_mul(x, 1)
+    one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
+    h_std = F.mul(h, Fel(one_std, 1))
+    return h.v, h_std.v

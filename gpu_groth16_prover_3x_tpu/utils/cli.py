@@ -57,10 +57,13 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "tpu":
-        if args.mode != "compute":
-            print("tpu preprocess: use `cpu preprocess` (tables are "
-                  "device-agnostic files)", file=sys.stderr)
-            return 2
+        if args.mode == "preprocess":
+            from ..curves.constants import CURVES
+            from ..models import preprocess_device
+            preprocess_device.run_preprocess(
+                CURVES[args.curve], args.params_path,
+                f"{args.curve}_preprocessed")
+            return 0
         from ..models import tpu_prover
         tpu_prover.run_prover(args.curve, args.params_path, args.input_path,
                               args.output_path)

@@ -1,0 +1,30 @@
+"""Device-accelerated trusted setup == exact host setup.
+
+Both paths consume randomness identically, so with the same seed every
+serialized byte must match (the generate_parameters contract,
+libsnark/generate_parameters.cpp:23-123).
+"""
+
+import random
+
+import pytest
+
+pytest.importorskip("jax")
+
+from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
+from gpu_groth16_prover_3x_tpu.host import groth16 as host_groth16
+from gpu_groth16_prover_3x_tpu.models import setup_device
+
+
+def test_setup_device_matches_host():
+    seed = 0x5E7
+    res_h = host_groth16.setup(MNT4753, 5, random.Random(seed))
+    res_d = setup_device.setup(MNT4753, 5, random.Random(seed))
+    assert res_d.d == res_h.d and res_d.m == res_h.m
+    assert res_d.A == res_h.A
+    assert res_d.B1 == res_h.B1
+    assert res_d.B2 == res_h.B2
+    assert res_d.L == res_h.L
+    assert res_d.H == res_h.H
+    assert res_d.w == res_h.w and res_d.r == res_h.r
+    assert (res_d.ca, res_d.cb, res_d.cc) == (res_h.ca, res_h.cb, res_h.cc)
