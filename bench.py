@@ -22,8 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# First recorded single-chip number (points/sec); update as rounds improve.
-BASELINE_POINTS_PER_SEC = None  # round 1: no prior recording
+# First recorded single-chip number (points/sec): round 1, v5e chip,
+# 2^20 points, c=16, chunk 64 (BASELINE.md).  vs_baseline is measured
+# against this.
+BASELINE_POINTS_PER_SEC = 33642.6
 
 
 def main() -> None:

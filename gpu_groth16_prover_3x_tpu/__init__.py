@@ -18,3 +18,16 @@ _os.environ.setdefault(
     _os.path.expanduser("~/.cache/gpu_groth16_prover_3x_tpu/jax"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# jax may be pre-imported at interpreter startup (this image does), in
+# which case some env-read config happened before the setdefaults above:
+# pin the cache settings through the config API as well.
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - cache remains best-effort
+    pass

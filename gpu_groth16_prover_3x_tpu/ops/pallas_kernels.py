@@ -24,7 +24,6 @@ from jax.experimental.pallas import tpu as pltpu
 from . import limbs as L
 
 LANE_TILE = 512      # batch lanes per kernel instance (4 x 128)
-MASK16 = jnp.uint32(0xFFFF)
 
 
 def _kernel_body(p_limbs: tuple, ninv16: int):
@@ -34,7 +33,8 @@ def _kernel_body(p_limbs: tuple, ninv16: int):
         a = a_ref[...]                        # (48, T) uint32
         b = b_ref[...]
         T = a.shape[1]
-        zero_row = jnp.zeros((1, T), jnp.uint32)
+        MASK16 = jnp.uint32(0xFFFF)  # built inside: kernels must not
+        # close over traced module-level constants
         # accumulator rows t[0..49] kept as a list of vreg values
         t = [jnp.zeros((T,), jnp.uint32) for _ in range(L.NUM_LIMBS + 2)]
         ninv = jnp.uint32(ninv16)
@@ -87,7 +87,7 @@ def _build(p: int, ninv16: int, batch: int, interpret: bool):
     grid = (batch // T,)
 
     spec = pl.BlockSpec((L.NUM_LIMBS, T), lambda i: (0, i),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
     fn = pl.pallas_call(
         kernel,

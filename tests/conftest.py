@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# jax is pre-imported at interpreter startup in this image, so env vars
+# alone are too late for its config: force the platform through the
+# config API (valid until the first backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # The 753-bit limb graphs are compile-heavy; persist compiled executables
 # across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
