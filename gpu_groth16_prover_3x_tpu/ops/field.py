@@ -107,7 +107,9 @@ class FpOps:
 
     def add(self, a: Fel, b: Fel) -> Fel:
         assert a.lb + b.lb <= MAX_LB
-        return Fel(a.v + b.v, a.k + b.k, a.lb + b.lb)
+        nd = max(a.v.ndim, b.v.ndim)
+        return Fel(self._align(a.v, nd) + self._align(b.v, nd),
+                   a.k + b.k, a.lb + b.lb)
 
     def sub(self, a: Fel, b: Fel) -> Fel:
         """a - b + b.k*p, lazily: a + (C - b) + ((b.k*p - C*U) mod 2^768).
@@ -116,16 +118,29 @@ class FpOps:
         value is in range by the k-bounds), so this is two vector adds.
         """
         c = b.lb
+        nd = max(a.v.ndim, b.v.ndim)
         d = jnp.asarray(self.ctx.sub_const(b.k, c)).reshape(
-            (L.NUM_LIMBS,) + (1,) * (max(a.v.ndim, b.v.ndim) - 1))
+            (L.NUM_LIMBS,) + (1,) * (nd - 1))
         assert a.lb + c + 0xFFFF <= MAX_LB
-        return Fel(a.v + (jnp.uint32(c) - b.v) + d, a.k + b.k,
-                   a.lb + c + 0xFFFF)
+        return Fel(self._align(a.v, nd) + (jnp.uint32(c)
+                                           - self._align(b.v, nd)) + d,
+                   a.k + b.k, a.lb + c + 0xFFFF)
+
+    @staticmethod
+    def _align(v, ndim: int):
+        """Left-pad batch dims so (48, 1)-style constants broadcast against
+        higher-rank batches (jnp broadcasting is right-aligned)."""
+        if v.ndim >= ndim:
+            return v
+        return v.reshape((v.shape[0],) + (1,) * (ndim - v.ndim)
+                         + v.shape[1:])
 
     def mul(self, a: Fel, b: Fel) -> Fel:
         assert a.k * b.k <= MUL_BOUND, (a.k, b.k)
         a, b = self.canon_limbs(a), self.canon_limbs(b)
-        return Fel(L.mont_mul(self.ctx, a.v, b.v), 2)
+        nd = max(a.v.ndim, b.v.ndim)
+        return Fel(L.mont_mul(self.ctx, self._align(a.v, nd),
+                              self._align(b.v, nd)), 2)
 
     def sqr(self, a: Fel) -> Fel:
         return self.mul(a, a)
@@ -149,10 +164,11 @@ class FpOps:
             batch = shape if batch is None else \
                 jnp.broadcast_shapes(batch, shape)
         full = (L.NUM_LIMBS,) + tuple(batch)
+        nd = len(full)
 
         def stack(els):
             lazy = any(not e.canonical_limbs for e in els)
-            vs = [jnp.broadcast_to(e.v, full) for e in els]
+            vs = [jnp.broadcast_to(self._align(e.v, nd), full) for e in els]
             out = jnp.concatenate(vs, axis=-1)
             return L.canon(out) if lazy else out
 
@@ -182,8 +198,10 @@ class FpOps:
 
     def select(self, mask, a: Fel, b: Fel) -> Fel:
         """mask shape (1, *batch) or broadcastable; True -> a."""
-        return Fel(jnp.where(mask, a.v, b.v), max(a.k, b.k),
-                   max(a.lb, b.lb))
+        nd = max(a.v.ndim, b.v.ndim)
+        return Fel(jnp.where(mask, self._align(a.v, nd),
+                             self._align(b.v, nd)),
+                   max(a.k, b.k), max(a.lb, b.lb))
 
     def is_zero(self, a: Fel):
         """Exact zero test (needs canonical-mod-p input to be exact for

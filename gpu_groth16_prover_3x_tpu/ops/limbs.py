@@ -189,7 +189,10 @@ def _mont_mul_xla(ctx: MontCtx, a, b):
         t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
         return t, None
 
-    t0 = jnp.zeros((NUM_LIMBS + 2,) + batch, U32)
+    # derive the zero carry from BOTH operands so its varying axes under
+    # shard_map match the loop body outputs (scan-vma rule) even when one
+    # operand is a replicated closure constant (e.g. twiddle tables)
+    t0 = bpad * jnp.uint32(0) + a[0:1] * jnp.uint32(0)
     t, _ = jax.lax.scan(step, t0, a.reshape((NUM_LIMBS, 1) + batch))
     return canon(t)[:NUM_LIMBS]
 

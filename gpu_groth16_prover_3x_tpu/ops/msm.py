@@ -179,12 +179,16 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         ks_seq = ks.T                                        # (S, C)
 
         # -- step 0: initialize run accumulator ---------------------------
+        # (initial carries derive from data so their varying axes match the
+        # body outputs under shard_map)
         acc0, _ = lift(xs_seq[0])
+        acc0_arrs = cops.to_arrays(cops.normalize_k(acc0))
+        first0 = tuple(i + a * 0 for i, a in zip(ident_arrs, acc0_arrs))
         carry0 = (
-            cops.to_arrays(cops.normalize_k(acc0)),
+            acc0_arrs,
             ks_seq[0],
-            ident_arrs,                                      # first partial
-            jnp.zeros((C,), jnp.bool_),                      # has_change
+            first0,                                          # first partial
+            ks_seq[0] != ks_seq[0],                          # has_change
         )
 
         def step(carry, xs):
@@ -302,7 +306,10 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             3 * deg, L.NUM_LIMBS, NT)
         Sp = cops.from_arrays(tuple(barrs[i] for i in range(3 * deg)),
                               lb=0xFFFF)
-        W = cops.zero((NT,))
+        W0_arrs = cops.to_arrays(cops.zero((NT,)))
+        W = cops.from_arrays(tuple(
+            w + b * 0 for w, b in zip(W0_arrs, cops.to_arrays(Sp))),
+            k=1, lb=0xFFFF)
 
         def halves(P, m):
             arrs = cops.to_arrays(P)

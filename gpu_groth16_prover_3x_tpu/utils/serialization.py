@@ -122,7 +122,7 @@ def u64_to_u16x48(limbs: np.ndarray) -> np.ndarray:
 
 def u16x48_to_u64(limbs16: np.ndarray) -> np.ndarray:
     """(..., 48) 16-bit limbs (any int dtype) -> (..., 12) u64 (bitcast)."""
-    u16 = limbs16.astype("<u2")
+    u16 = np.ascontiguousarray(limbs16.astype("<u2"))
     return u16.view("<u8").reshape(*limbs16.shape[:-1], 12)
 
 
