@@ -25,7 +25,6 @@ C = H(x)*H_query + w_aux*L_query + r * (w*B1_query).
 
 import time
 from dataclasses import dataclass
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +32,6 @@ import numpy as np
 from ..curves.constants import CurveParams
 from ..host import ec as host_ec
 from ..ops import limbs as L
-from ..ops.ec import CurveOps
 from ..ops.field import Fel
 from ..ops.msm import (DEFAULT_CHUNK, finalize_msm, msm_window_sums,
                        pad_rows, window_sums_to_host)

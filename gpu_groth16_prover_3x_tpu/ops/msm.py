@@ -40,7 +40,7 @@ traffic; compute widens to uint32 on the fly.
 """
 
 from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ computations (field_utils.tcc get_root_of_unity).
 """
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ GROTH16_FORCE_PALLAS is set, e.g. with interpret=True under tests).
 """
 
 import os
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -124,7 +124,9 @@ def mont_mul_pallas(ctx: "L.MontCtx", a, b):
     a2 = a.reshape(L.NUM_LIMBS, -1)
     b2 = b.reshape(L.NUM_LIMBS, -1)
     n = a2.shape[1]
-    T = min(LANE_TILE, max(n, 128))
+    # interpret mode (tests) pays per interpreted element: keep the tile
+    # minimal; compiled mode wants full lane tiles
+    T = n if interpret else min(LANE_TILE, max(n, 128))
     n_pad = ((n + T - 1) // T) * T
     if n_pad != n:
         a2 = jnp.pad(a2, ((0, 0), (0, n_pad - n)))

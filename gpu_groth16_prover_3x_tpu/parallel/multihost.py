@@ -21,7 +21,7 @@ traffic — stay inside the slice axis.
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -30,19 +30,18 @@ unchanged on a real multi-chip slice or on N virtual CPU devices
 configuration).
 """
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..curves.constants import CurveParams
 from ..ops import limbs as L
-from ..ops.ec import CurveOps, get_curve_ops
+from ..ops.ec import CurveOps
 from ..ops.field import Fel
 from ..ops.msm import msm_window_sums
-from ..ops.ntt import NttPlan, get_plan
+from ..ops.ntt import NttPlan
 
 AXIS = "data"
 

@@ -16,7 +16,6 @@ Here:
 """
 
 import argparse
-import sys
 
 
 def main(argv=None) -> int:

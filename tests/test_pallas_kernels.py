@@ -1,5 +1,13 @@
-"""Pallas mont_mul kernel == exact python ints (interpret mode on CPU)."""
+"""Pallas mont_mul kernel == exact python ints.
 
+On a TPU backend this runs the real compiled kernel (the validation that
+matters).  On CPU the only option is Pallas interpret mode, which
+evaluates the ~4000-op unrolled CIOS kernel one primitive at a time —
+minutes of wall clock — so it is opt-in via GROTH16_RUN_PALLAS_TESTS=1
+(the kernel itself is also opt-in in production, ops/pallas_kernels.py).
+"""
+
+import os
 import random
 
 import numpy as np
@@ -13,8 +21,13 @@ from gpu_groth16_prover_3x_tpu.ops import limbs as L
 from gpu_groth16_prover_3x_tpu.ops import pallas_kernels as PK
 
 
-def test_pallas_mont_mul_interpret(rng, monkeypatch):
-    monkeypatch.setenv("GROTH16_PALLAS_INTERPRET", "1")
+def test_pallas_mont_mul(rng, monkeypatch):
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        if not os.environ.get("GROTH16_RUN_PALLAS_TESTS"):
+            pytest.skip("interpret-mode pallas is minutes-slow on CPU; "
+                        "set GROTH16_RUN_PALLAS_TESTS=1 to run")
+        monkeypatch.setenv("GROTH16_PALLAS_INTERPRET", "1")
     p = P_A
     ctx = L.MontCtx(p)
     n = 16
