@@ -103,34 +103,43 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
     w_keys = frops.mul(Fel(w_mont, 1), Fel(one_std, 1)).v
 
-    # -- MSMs (points-DP) --------------------------------------------------------
-    def launch(cops, rows, keys, n):
-        n_pad = pad_n(n)
-        rows_p = jnp.asarray(pad_rows(np.asarray(rows)[:n], n_pad))
-        keys_np = np.asarray(keys)[:, :n]
-        keys_p = jnp.asarray(np.pad(
-            keys_np, ((0, 0), (0, n_pad - n))).astype(np.uint32))
-        return sharded_msm_window_sums(cops, mesh, keys_p, rows_p,
-                                       chunk_s, c)
+    # -- MSMs (points-DP, fused G1 kernel like models/tpu_prover.py) -----
+    def pad2(arr_np, n_pad):
+        return pad_rows(np.asarray(arr_np), n_pad)
 
-    ws_A = launch(g1, params.A, w_keys, m + 1)
-    ws_B1 = launch(g1, params.B1, w_keys, m + 1)
-    ws_B2 = launch(g2, params.B2, w_keys, m + 1)
-    ws_L = launch(g1, params.L, np.asarray(w_keys)[:, 2:], m - 1)
-    ws_H = launch(g1, params.H, h_std, d)
+    w_keys_np = np.asarray(w_keys)
+    h_std_np = np.asarray(h_std)
+    g1_rows_np = np.concatenate([
+        np.asarray(params.A)[:m + 1], np.asarray(params.B1)[:m + 1],
+        np.asarray(params.L)[:m - 1], np.asarray(params.H)[:d]])
+    n_tot = g1_rows_np.shape[0]
+    n_pad1 = pad_n(n_tot)
+    g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad1))
+    g1_keys = jnp.asarray(np.concatenate([
+        w_keys_np[:, :m + 1], w_keys_np[:, :m + 1],
+        w_keys_np[:, 2:m + 1], h_std_np[:, :d],
+        np.zeros((48, n_pad1 - n_tot), np.uint32)], axis=1))
+    seg = jnp.asarray(np.concatenate([
+        np.full(m + 1, 0), np.full(m + 1, 1), np.full(m - 1, 2),
+        np.full(d, 3), np.full(n_pad1 - n_tot, 3)]).astype(np.int32))
+    ws_g1 = sharded_msm_window_sums(g1, mesh, g1_keys, g1_rows,
+                                    chunk_s, c, seg, 4)
+
+    n2_pad = pad_n(m + 1)
+    b2_rows = jnp.asarray(pad2(params.B2[:m + 1], n2_pad))
+    b2_keys = jnp.asarray(np.pad(
+        w_keys_np[:, :m + 1],
+        ((0, 0), (0, n2_pad - (m + 1)))).astype(np.uint32))
+    ws_B2 = sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows, chunk_s, c)
 
     # -- host assembly -------------------------------------------------------------
     p = curve.fq.p
-
-    def host_pts(cops, hg, ws):
-        # ws: tuple of (WINDOWS, 48, 1) combined arrays
-        return finalize_msm(hg, window_sums_to_host(cops, ws, hg, p))
-
-    At = host_pts(g1, hg1, ws_A)
-    Bt1 = host_pts(g1, hg1, ws_B1)
-    Bt2 = host_pts(g2, hg2, ws_B2)
-    Lt = host_pts(g1, hg1, ws_L)
-    Ht = host_pts(g1, hg1, ws_H)
+    g1_pts = window_sums_to_host(g1, ws_g1, hg1, p, num_msms=4)
+    At = finalize_msm(hg1, g1_pts[0])
+    Bt1 = finalize_msm(hg1, g1_pts[1])
+    Lt = finalize_msm(hg1, g1_pts[2])
+    Ht = finalize_msm(hg1, g1_pts[3])
+    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p))
 
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     return (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))
