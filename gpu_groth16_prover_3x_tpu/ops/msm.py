@@ -115,10 +115,11 @@ def _tree_select(mask, a_list, b_list):
     return tuple(jnp.where(mask, a, b) for a, b in zip(a_list, b_list))
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6))
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
 def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
                     chunk_s: int = DEFAULT_CHUNK, c: int = DEFAULT_C,
-                    seg_ids=None, num_msms: int = 1):
+                    seg_ids=None, num_msms: int = 1,
+                    num_windows: int = None):
     """Window sums of `num_msms` independent fused MSMs over one group.
 
     scalar_limbs: (48, n) uint32 — standard-domain 16-bit digit limbs
@@ -365,6 +366,11 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             keys_all = jnp.stack(
                 [limbs & 0xFF, limbs >> 8], axis=1).reshape(
                     2 * L.NUM_LIMBS, -1)
+
+        if num_windows is not None:
+            # structural smoke runs (dryrun): process only the low
+            # windows — the kernel is identical, the result partial
+            keys_all = keys_all[:num_windows]
 
         def body(_, digits):
             return 0, window_msm(digits + seg_shift)

@@ -59,7 +59,7 @@ def compute_h_sharded(splan: ShardedNttPlan, mesh: Mesh, ca, cb, cc):
 
 def prove_sharded(curve: CurveParams, params: DeviceParams,
                   inputs: DeviceInput, mesh: Mesh, chunk_s: int = 8,
-                  c: int = 8):
+                  c: int = 8, num_windows: int = None):
     """Distributed proof; returns affine (A, B2, C) host tuples.
 
     Mirrors models/tpu_prover.prove with every MSM points-sharded and the
@@ -123,14 +123,15 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
         np.full(m + 1, 0), np.full(m + 1, 1), np.full(m - 1, 2),
         np.full(d, 3), np.full(n_pad1 - n_tot, 3)]).astype(np.int32))
     ws_g1 = sharded_msm_window_sums(g1, mesh, g1_keys, g1_rows,
-                                    chunk_s, c, seg, 4)
+                                    chunk_s, c, seg, 4, num_windows)
 
     n2_pad = pad_n(m + 1)
     b2_rows = jnp.asarray(pad2(params.B2[:m + 1], n2_pad))
     b2_keys = jnp.asarray(np.pad(
         w_keys_np[:, :m + 1],
         ((0, 0), (0, n2_pad - (m + 1)))).astype(np.uint32))
-    ws_B2 = sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows, chunk_s, c)
+    ws_B2 = sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows, chunk_s,
+                                    c, None, 1, num_windows)
 
     # -- host assembly -------------------------------------------------------------
     p = curve.fq.p

@@ -83,7 +83,8 @@ def _combine_window_sums(cops: CurveOps, ws_stacked):
 
 def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
                             chunk_s: int = 16, c: int = 16,
-                            seg_ids=None, num_msms: int = 1):
+                            seg_ids=None, num_msms: int = 1,
+                            num_windows: int = None):
     """MSM window sums with points sharded over the mesh axis.
 
     keys: (48, n) uint32 digit limbs; rows: (n, F) uint16 affine rows;
@@ -98,7 +99,7 @@ def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
 
     def local(keys_l, rows_l, seg_l):
         ws = msm_window_sums(cops, keys_l, rows_l, chunk_s, c,
-                             seg_l, num_msms)
+                             seg_l, num_msms, num_windows)
         # lift each (nwin, 48, num) to (1, nwin, 48, num) for the gather
         return tuple(w[None] for w in ws)
 
