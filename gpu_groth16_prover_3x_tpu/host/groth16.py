@@ -197,18 +197,30 @@ def compute_h(curve: CurveParams, d: int, ca: List[int], cb: List[int],
     return h + [0]  # coefficients_for_H has m+1 entries (main.cpp:136-143)
 
 
-def prove(curve: CurveParams, params, inputs):
+def prove(curve: CurveParams, params, inputs, mask_bits: int = None):
     """The challenge prover (libsnark/main.cpp:172-233).
 
     `params` / `inputs` follow utils.serialization.Groth16Params/Input
     (affine points / standard-domain scalars).  Returns affine
     (A, B2, C).
+
+    `mask_bits` masks every MSM scalar to its low bits before the
+    multiexps (h is still computed from the full pipeline first).  The
+    masked proof equals a partial-low-window device proof exactly (MSMs
+    are linear in scalar bits), which is how the multichip dryrun
+    value-checks a W-window run without paying for all 96.
     """
     g1 = ec.g1_group(curve)
     g2 = ec.g2_group(curve)
     primary_input_size = 1
 
     h_coeffs = compute_h(curve, params.d, inputs.ca, inputs.cb, inputs.cc)
+    if mask_bits is not None:
+        mask = (1 << mask_bits) - 1
+        h_coeffs = [x & mask for x in h_coeffs]
+        inputs = type(inputs)(
+            w=[x & mask for x in inputs.w], ca=inputs.ca, cb=inputs.cb,
+            cc=inputs.cc, r=inputs.r)
 
     A_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in params.A]
     B1_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in params.B1]

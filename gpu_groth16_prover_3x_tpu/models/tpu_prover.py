@@ -140,7 +140,8 @@ def _from_monty_keys(fr_ops, mont_rows: np.ndarray) -> jnp.ndarray:
     x = Fel(jnp.asarray(np.ascontiguousarray(mont_rows.T)
                         .astype(np.uint32)), 1)
     one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
-    return fr_ops.mul(x, Fel(one_std, 1)).v
+    # final conditional subtract: canonical digits < p (fp.tcc from_monty)
+    return L.cond_sub_kp(fr_ops.ctx, fr_ops.mul(x, Fel(one_std, 1)).v, 1)
 
 
 def _pad_to_chunks(arr: np.ndarray, chunk_s: int) -> np.ndarray:
@@ -198,18 +199,20 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     # on three CUDA streams and A, H on the CPU — here the four G1 MSMs
     # share a single sort/scan/reduce pass, cuda_prover_piecewise.cu:162-179)
     p = curve.fq.p
+    pi1 = primary_input_size + 1
+    nL = params.L.shape[0]
     g1_rows_np = np.concatenate([
-        params.A[:m + 1], params.B1[:m + 1], params.L[:m - 1],
+        params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
         params.H[:d]])
     n_tot = g1_rows_np.shape[0]
     n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
     g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
     g1_keys = jnp.concatenate([
         w_keys[:, :m + 1], w_keys[:, :m + 1],
-        w_keys[:, primary_input_size + 1:m + 1], h_std[:, :d],
+        w_keys[:, pi1:pi1 + nL], h_std[:, :d],
         jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
     seg_np = np.concatenate([
-        np.full(m + 1, 0), np.full(m + 1, 1), np.full(m - 1, 2),
+        np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
         np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
     ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
                             jnp.asarray(seg_np), 4)
@@ -223,11 +226,11 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
 
     enter_block("readback + host assembly")
     g1_pts = window_sums_to_host(g1, ws_g1, hg1, p, num_msms=4)
-    At = finalize_msm(hg1, g1_pts[0])
-    Bt1 = finalize_msm(hg1, g1_pts[1])
-    Lt = finalize_msm(hg1, g1_pts[2])
-    Ht = finalize_msm(hg1, g1_pts[3])
-    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p))
+    At = finalize_msm(hg1, g1_pts[0], c)
+    Bt1 = finalize_msm(hg1, g1_pts[1], c)
+    Lt = finalize_msm(hg1, g1_pts[2], c)
+    Ht = finalize_msm(hg1, g1_pts[3], c)
+    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p), c)
 
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))

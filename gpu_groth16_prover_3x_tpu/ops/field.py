@@ -85,7 +85,9 @@ class FpOps:
     def one(self, batch=None) -> Fel:
         one = jnp.asarray(self.ctx.one_mont)
         if batch is not None:
-            one = jnp.broadcast_to(one, (L.NUM_LIMBS,) + tuple(batch))
+            one = jnp.broadcast_to(
+                one.reshape((L.NUM_LIMBS,) + (1,) * len(batch)),
+                (L.NUM_LIMBS,) + tuple(batch))
         return Fel(one, 1)
 
     def from_numpy(self, arr: np.ndarray, k: int = 1) -> Fel:

@@ -112,6 +112,7 @@ class MontCtx:
         assert p.bit_length() <= LIMB_BITS * NUM_LIMBS - 8
         self.p = p
         self.ninv16 = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.ninv768 = (-pow(p, -1, 1 << 768)) % (1 << 768)
         self.r = (1 << (LIMB_BITS * NUM_LIMBS)) % p
         self.r2 = (self.r * self.r) % p
         # (50,1) zero-padded modulus for the CIOS accumulator
@@ -149,16 +150,150 @@ class MontCtx:
 
 # -- core ops (all take/return canonical 16-bit limbs, shape (48, *batch)) ----
 
+def _cpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
+_HOSTCALL_SCOPE = None  # tri-state trace-time override (see hostcall_scope)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def hostcall_scope(on):
+    """Force hostcall-mult on/off for code traced inside the scope.
+
+    The multichip dryrun uses callbacks ONLY for the NTT phases (their
+    compile is the pathology; their callback/collective interleaving is
+    benign) and real XLA kernels for the MSM phases (callbacks inside
+    the deep scan/while bodies convoy on the GIL under multi-partition
+    CPU execution).  `on=None` restores the env-based default.
+    """
+    global _HOSTCALL_SCOPE
+    prev = _HOSTCALL_SCOPE
+    _HOSTCALL_SCOPE = on
+    try:
+        yield
+    finally:
+        _HOSTCALL_SCOPE = prev
+
+
+def _hostcall_mult() -> bool:
+    """Dryrun-only mode: route mont_mul through an exact host callback.
+
+    XLA:CPU spends seconds of optimization-pass time on every inlined
+    48-iteration CIOS scan instance (a tiny distributed prove step costs
+    >15 min of cold compile); with this flag the innermost multiply
+    becomes a jax.pure_callback while ALL surrounding structure — mesh,
+    shard_map collectives, scans, scatters, EC formulas, digit plumbing —
+    still compiles and executes as the real jitted program.  The callback
+    computes the *identical* integer REDC result (t = (ab + m*p)/R with
+    m = -ab*p^-1 mod R is algorithm-independent), so proofs stay
+    bit-exact against the oracle.  Only honored on the CPU backend;
+    never on TPU.
+    """
+    import os
+    if _HOSTCALL_SCOPE is not None:
+        return _HOSTCALL_SCOPE and _cpu_backend()
+    return bool(os.environ.get("GROTH16_HOSTCALL_MULT")) and _cpu_backend()
+
+
+def _np_mont_mul(p: int, ninv768: int, a: np.ndarray, b: np.ndarray
+                 ) -> np.ndarray:
+    """Exact host REDC on (48, B) canonical u32 limb arrays.
+
+    Limb<->int conversion rides int.from_bytes/to_bytes (C-speed); the
+    768-bit arithmetic is CPython bigints.  Produces the identical
+    integer the device CIOS produces: t = (ab + m*p) >> 768 with
+    m = -ab*p^-1 mod 2^768.
+    """
+    shape = a.shape
+    a2 = np.ascontiguousarray(a.reshape(NUM_LIMBS, -1).T).astype("<u2")
+    b2 = np.ascontiguousarray(b.reshape(NUM_LIMBS, -1).T).astype("<u2")
+    n = a2.shape[0]
+    ab_bytes = a2.tobytes()
+    bb_bytes = b2.tobytes()
+    mask = (1 << 768) - 1
+    out = bytearray(n * 96)
+    for i in range(n):
+        ai = int.from_bytes(ab_bytes[i * 96:(i + 1) * 96], "little")
+        bi = int.from_bytes(bb_bytes[i * 96:(i + 1) * 96], "little")
+        ab = ai * bi
+        m = (ab * ninv768) & mask
+        t = (ab + m * p) >> 768
+        out[i * 96:(i + 1) * 96] = t.to_bytes(96, "little")
+    res = np.frombuffer(bytes(out), dtype="<u2").reshape(n, NUM_LIMBS)
+    return np.ascontiguousarray(res.T).astype(np.uint32).reshape(shape)
+
+
+def _mont_mul_hostcall(ctx: MontCtx, a, b):
+    from functools import partial as _partial
+    fn = _partial(_np_mont_mul, ctx.p, ctx.ninv768)
+    out = jax.pure_callback(
+        fn, jax.ShapeDtypeStruct(a.shape, jnp.uint32), a, b,
+        vmap_method="broadcast_all")
+    # callback results carry no shard_map varying-axis tags; re-derive
+    # them from the operands so loop carries type-check (the same trick
+    # _mont_mul_xla's zero-carry uses)
+    return out + a * jnp.uint32(0) + b * jnp.uint32(0)
+
+
 def mont_mul(ctx: MontCtx, a, b):
     """Montgomery product dispatch: Pallas kernel on TPU, XLA scan
-    elsewhere (ops/pallas_kernels.py holds the VMEM-resident version)."""
+    elsewhere (ops/pallas_kernels.py holds the VMEM-resident version).
+
+    On the CPU backend the scan goes behind a non-inline jit call
+    boundary: XLA:CPU's loop-optimization passes re-run over every
+    *inlined* CIOS scan instance and its consumers (measured ~6s of
+    compile per NTT butterfly stage, >500s for a tiny distributed H
+    pipeline); as a call, one compilation is shared by every same-shape
+    call site (~4.5x faster cold compile for composed graphs).  TPU
+    keeps the inline path so XLA can fuse across the multiply.
+    """
     from . import pallas_kernels as PK
     if PK.pallas_available():
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
         b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
         return PK.mont_mul_pallas(ctx, a, b)
+    if _cpu_backend():
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
+        b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
+        if _hostcall_mult():
+            return _mont_mul_hostcall(ctx, a, b)
+        return _mont_mul_xla_call(ctx, a, b)
     return _mont_mul_xla(ctx, a, b)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mont_mul_xla_call(ctx: MontCtx, a, b):
+    """Non-inline, UNROLLED CIOS for the CPU backend (see mont_mul).
+
+    The scan form costs XLA:CPU ~15 thunk dispatches per iteration x 48
+    iterations per multiply — with 8 virtual partitions contending on
+    few cores that dispatch overhead dominates tiny-shape runs (the
+    multichip dryrun).  Unrolled straight-line code fuses into a handful
+    of thunks per multiply; the one-off compile (~9s/shape) is shared
+    across all same-shape call sites by this jit boundary.
+    """
+    batch = a.shape[1:]
+    bpad = jnp.concatenate([b, jnp.zeros((2,) + batch, U32)], axis=0)
+    p50 = jnp.asarray(ctx.p_limbs50).reshape((50,) + (1,) * len(batch))
+    ninv = jnp.uint32(ctx.ninv16)
+    t = jnp.zeros((50,) + batch, U32)
+    for i in range(NUM_LIMBS):
+        t = t + a[i:i + 1] * bpad
+        t = lazy_pass(t)
+        m = (t[:1] * ninv) & MASK
+        t = t + m * p50
+        t = lazy_pass(t)
+        t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
+    return canon(t)[:NUM_LIMBS]
 
 
 @partial(jax.jit, static_argnums=(0,), inline=True)

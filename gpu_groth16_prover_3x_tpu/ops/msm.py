@@ -7,28 +7,34 @@ ladder :106-127) with the bucket method the reference itself recommends
 a SIMD/vector machine with no scatter-add and no per-lane control flow:
 
   window size c = 16, so the 48 *16-bit limbs of a standard-form scalar
-  ARE its window digits (zero conversion cost).  Per window:
+  ARE its window digits (zero conversion cost).  Windows are processed
+  in BLOCKS that ride the batch dims end to end (one sort/scan/scatter
+  pass covers a whole block; one joint reduction covers another), so
+  lane width — not loop depth — absorbs the work:
 
-  1. argsort points by digit (keys), so each bucket is a contiguous run.
-  2. Chunked segmented scan: the sorted array is cut into n/S chunks of
-     S points processed as S sequential batched steps (batch = n/S lanes);
-     a running accumulator adds points of the same key (one complete mixed
-     add per point — the same asymptotic work as a serial bucket pass,
-     but fully lane-parallel) and emits a finished run total whenever the
-     key changes.
+  1. argsort points by digit per window (batched sort over the block),
+     so each bucket is a contiguous run.
+  2. Chunked segmented scan: the sorted arrays are cut into n/S chunks
+     of S points processed as S sequential batched steps (batch =
+     wb * n/S lanes); a running accumulator adds points of the same key
+     (one complete mixed add per point — the same asymptotic work as a
+     serial bucket pass, but fully lane-parallel) and emits a finished
+     run total whenever the key changes.
   3. Runs crossing chunk borders are stitched with a Hillis-Steele
      carry chain over chunk tails (log-depth, early-exits via while_loop —
      typically 1 step since runs are short for random digits).
-  4. Finished run totals scatter into a dense 2^16-slot bucket table
+  4. Finished run totals scatter into dense per-window bucket tables
      (unique keys by construction, so a plain scatter-set is exact).
   5. The weighted sum  sum_b b * bucket_b  uses a pre-scaled halving
-     recursion: carrying (S' = 2^L * blocksum, W) pairs per block,
-     each level costs 3 adds + 1 dbl on half the lanes:
+     recursion batched across a GROUP of windows jointly: carrying
+     (S' = 2^L * blocksum, W) pairs per block, each level costs 3 adds
+     + 1 dbl on half the lanes:
         W   <- W_A + W_B + S'_B
         S'  <- dbl(S'_A + S'_B)
-     Total ~4 * 2^16 EC ops per window vs 2 * 2^16 for a serial suffix
-     pass, but log-depth and batched (multiexp.tcc:205-277 is the
-     sequential spec this reproduces).
+     (multiexp.tcc:205-277 is the sequential spec this reproduces).
+     Cross-window batching keeps late levels wide: per-window reduction
+     at shrinking widths was ~50% of MSM wall time at 2^18-2^20 despite
+     ~10x less arithmetic than the scan.
 
   Window sums are recombined on the host by exact Horner doubling —
   mirroring how the reference reads back per-stream results and finishes
@@ -52,6 +58,15 @@ from .ec import CurveOps
 DEFAULT_C = 16        # window bits: 16 (prod) or 8 (small-n / tests)
 DEFAULT_CHUNK = 64    # S: sequential steps per window scan
 REDUCE_FORI_WIDTH = 4096  # below this width the halving levels share one trace
+# target bucket lanes per joint reduction group: (S', W) carry 6 u32
+# coordinate arrays of (48, wb*NT) -> ~4.6 KB/lane transient; 2^19 lanes
+# keeps the reduction under ~2.5 GB while still ~100x wider than
+# per-window shrinking levels
+REDUCE_GROUP_LANES = 1 << 19
+# flat lanes per chunked reduction-level op: a stacked mont_mul's
+# (50, 13*X/2) u32 scan accumulator must stay VMEM-resident (~2^15
+# lanes -> ~43 MB stacked) or the 48 CIOS iterations thrash HBM
+LEVEL_CHUNK = 1 << 15
 
 
 # -- host-side data preparation ------------------------------------------------
@@ -137,7 +152,7 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
 
     Returns a tuple of 3*deg arrays of shape (768//c, 48, num_msms).
     """
-    assert c in (8, 16)
+    assert c in (4, 8, 16)
     NB = 1 << c
     F = cops.F
     deg = F.deg
@@ -150,39 +165,57 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         seg_ids = jnp.zeros((n,), jnp.int32)
     seg_shift = seg_ids.astype(jnp.int32) * NB
 
-    ident_pt = cops.zero((C,))
-    ident_arrs = cops.to_arrays(ident_pt)
     ident_row_np = _identity_row(cops)
+    NT = num_msms * NB
+    F3 = 3 * deg * L.NUM_LIMBS
 
-    def unpack_affine(block):
-        """(ncoef*48, C) u32 -> (x, y) field elements + infinity mask."""
-        cs = block.reshape(ncoef, L.NUM_LIMBS, C)
+    def unpack_affine(block, batch):
+        """(ncoef*48, *batch) u32 -> (x, y) field elements + inf mask."""
+        cs = block.reshape((ncoef, L.NUM_LIMBS) + batch)
         x = F.from_arrays(tuple(cs[i] for i in range(deg)), 1)
         y = F.from_arrays(tuple(cs[deg + i] for i in range(deg)), 1)
-        inf = F.is_zero(y)  # (1, C)
+        inf = F.is_zero(y)  # (1, *batch)
         return x, y, inf
 
-    def lift(block):
-        x, y, inf = unpack_affine(block)
-        one = F.one((C,))
-        zero = F.zero((C,))
+    def lift(block, batch):
+        x, y, inf = unpack_affine(block, batch)
+        one = F.one(batch)
+        zero = F.zero(batch)
         X = F.select(inf, zero, x)
         Y = F.select(inf, one, y)
         Z = F.select(inf, zero, one)
         return (X, Y, Z), (x, y, inf)
 
-    def window_msm(keys):
-        order = jnp.argsort(keys)
-        ks = jnp.take(keys, order).reshape(C, S)
-        pts = jnp.take(points_rows, order, axis=0)          # (n, F) u16
-        ptsT = pts.T.astype(jnp.uint32).reshape(ncoef * L.NUM_LIMBS, C, S)
-        xs_seq = jnp.moveaxis(ptsT, 2, 0)                   # (S, F, C)
-        ks_seq = ks.T                                        # (S, C)
+    def group_msm(keys_grp):
+        """(wb, n) global bucket keys -> (wb*NT, F3) u16 bucket tables.
+
+        A whole block of windows runs through ONE sort/scan/stitch/
+        scatter pass: the window axis is FLATTENED into the chunk batch
+        (B = wb*C lanes), so the sequential chunk scan costs S steps
+        regardless of how many windows the block holds, and every field
+        op stays a 2-D (48, B) tensor — a leading window dim of 1 or 8
+        as a separate axis would strand the VPU sublane dimension.
+        Window blocks are contiguous in the flat batch, so the boundary
+        stitch just views (48, B) as (48, wb, C) for its chunk shifts.
+        """
+        wb = keys_grp.shape[0]
+        B = wb * C
+        batch = (B,)
+        ident_arrs = cops.to_arrays(cops.zero(batch))
+
+        order = jnp.argsort(keys_grp, axis=-1)               # (wb, n)
+        ks = jnp.take_along_axis(keys_grp, order, axis=-1) \
+                .reshape(B, S)
+        pts = jnp.take(points_rows, order, axis=0)           # (wb, n, F)
+        ptsT = jnp.moveaxis(pts, 2, 0).astype(jnp.uint32) \
+                  .reshape(ncoef * L.NUM_LIMBS, B, S)
+        xs_seq = jnp.moveaxis(ptsT, 2, 0)                    # (S, F, B)
+        ks_seq = jnp.moveaxis(ks, 1, 0)                      # (S, B)
 
         # -- step 0: initialize run accumulator ---------------------------
-        # (initial carries derive from data so their varying axes match the
-        # body outputs under shard_map)
-        acc0, _ = lift(xs_seq[0])
+        # (initial carries derive from data so their varying axes match
+        # the body outputs under shard_map)
+        acc0, _ = lift(xs_seq[0], batch)
         acc0_arrs = cops.to_arrays(cops.normalize_k(acc0))
         first0 = tuple(i + a * 0 for i, a in zip(ident_arrs, acc0_arrs))
         carry0 = (
@@ -196,14 +229,14 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             accA, prevk, firstA, haschg = carry
             block, kj = xs
             acc = cops.from_arrays(accA)
-            lifted, (x, y, inf) = lift(block)
+            lifted, (x, y, inf) = lift(block, batch)
             summ = cops.mixed_add(acc, x, y, q_inf=inf)
-            same = (kj == prevk)[None, :]
+            same = (kj == prevk)[None]
             new_acc = cops.select(same, summ, lifted)
             change = ~same[0]
             emit_valid = change & haschg
             first_now = change & (~haschg)
-            newfirst = _tree_select(first_now[None, :], accA, firstA)
+            newfirst = _tree_select(first_now[None], accA, firstA)
             new_carry = (
                 cops.to_arrays(cops.normalize_k(new_acc)),
                 kj,
@@ -222,22 +255,34 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         uniform = ~haschg
 
         # -- cross-chunk carry chain (Hillis-Steele with early exit) -------
+        # shifts run along the chunk axis WITHIN each window: view the
+        # flat (48, B) arrays as (48, wb, C) just for the shift, compute
+        # everything else flat
         def shift_arrs(arrs, fills, s):
             out = []
             for a, fill in zip(arrs, fills):
-                comb = jnp.concatenate([fill, a], axis=-1)
-                out.append(jax.lax.dynamic_slice_in_dim(
-                    comb, C - s, C, axis=-1))
+                a2 = a.reshape(a.shape[:-1] + (wb, C))
+                f2 = fill.reshape(fill.shape[:-1] + (wb, C))
+                comb = jnp.concatenate([f2, a2], axis=-1)
+                sh = jax.lax.dynamic_slice_in_dim(comb, C - s, C, axis=-1)
+                out.append(sh.reshape(a.shape))
             return tuple(out)
 
-        link = jnp.concatenate([
-            jnp.zeros((1,), jnp.bool_),
-            tail_key[:-1] == head_key[1:],
-        ])
+        def shift_mask1(mask):
+            """(B,) -> shifted one chunk within each window, False fill."""
+            m2 = mask.reshape(wb, C)
+            return jnp.concatenate(
+                [jnp.zeros((wb, 1), mask.dtype), m2[:, :-1]],
+                axis=-1).reshape(B)
+
+        # link[w*C + c] = (tail_key[w, c-1] == head_key[w, c]), c > 0
+        link = jnp.concatenate(
+            [jnp.zeros((wb, 1), jnp.bool_),
+             tail_key.reshape(wb, C)[:, :-1] ==
+             head_key.reshape(wb, C)[:, 1:]], axis=-1).reshape(B)
         tail_shift = shift_arrs(tailA, ident_arrs, 1)
-        val0 = _tree_select(link[None, :], tail_shift, ident_arrs)
-        prop0 = link & jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), uniform[:-1]])
+        val0 = _tree_select(link[None], tail_shift, ident_arrs)
+        prop0 = link & shift_mask1(uniform)
 
         def carry_cond(st):
             s, _, prop = st
@@ -246,11 +291,12 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         def carry_body(st):
             s, val, prop = st
             val_s = shift_arrs(val, ident_arrs, s)
-            prop_s = shift_arrs((prop[None, :].astype(jnp.uint32),),
-                                (jnp.zeros((1, C), jnp.uint32),), s)[0][0] > 0
+            prop_s = shift_arrs((prop[None].astype(jnp.uint32),),
+                                (jnp.zeros((1, B), jnp.uint32),),
+                                s)[0][0] > 0
             comb = cops.add(cops.from_arrays(val),
                             cops.from_arrays(val_s))
-            val = _tree_select(prop[None, :],
+            val = _tree_select(prop[None],
                                cops.to_arrays(cops.normalize_k(comb)), val)
             return (s * 2, val, prop & prop_s)
 
@@ -261,26 +307,25 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         carry_pt = cops.from_arrays(carry_val)
         first_total = cops.add(cops.from_arrays(firstA), carry_pt)
         tail_with = cops.add(cops.from_arrays(tailA), carry_pt)
-        tail_total = cops.select(uniform[None, :], tail_with,
+        tail_total = cops.select(uniform[None], tail_with,
                                  cops.from_arrays(tailA))
         link_next = jnp.concatenate([
-            tail_key[:-1] == head_key[1:],
-            jnp.zeros((1,), jnp.bool_),
-        ])
+            tail_key.reshape(wb, C)[:, :-1] ==
+            head_key.reshape(wb, C)[:, 1:],
+            jnp.zeros((wb, 1), jnp.bool_),
+        ], axis=-1).reshape(B)
         first_valid = haschg
         tail_valid = ~link_next
 
-        # -- scatter run totals into the dense bucket table -----------------
-        F3 = 3 * deg * L.NUM_LIMBS
-
-        def to_rows(arrs):  # tuple of (..., 48, C) -> (..., C, F3) u16
+        # -- scatter run totals into the dense bucket tables ----------------
+        def to_rows(arrs):  # tuple of (..., 48, B) -> (..., B, F3)
             stacked = jnp.concatenate(
                 [jnp.swapaxes(a, -2, -1)[..., None, :]
-                 .reshape(a.shape[:-2] + (C, L.NUM_LIMBS))
+                 .reshape(a.shape[:-2] + (B, L.NUM_LIMBS))
                  for a in arrs], axis=-1)
             return stacked.astype(jnp.uint16)
 
-        em_rows = to_rows(em_vals).reshape(-1, F3)           # ((S-1)*C, F3)
+        em_rows = to_rows(em_vals).reshape(-1, F3)       # ((S-1)*wb*C, F3)
         first_rows = to_rows(tuple(
             L.canon(a).astype(jnp.uint16)
             for a in cops.to_arrays(cops.normalize_k(first_total))))
@@ -290,93 +335,217 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             for a in cops.to_arrays(cops.normalize_k(tail_total))))
         tail_rows = tail_rows.reshape(-1, F3)
 
-        dummy = jnp.int32(num_msms * NB)
-        keys_all = jnp.concatenate([
+        dummy = jnp.int32(wb * NT)
+        keys_flat = jnp.concatenate([
             jnp.where(em_valid, em_keys, dummy).reshape(-1),
-            jnp.where(first_valid, head_key, dummy),
-            jnp.where(tail_valid, tail_key, dummy),
+            jnp.where(first_valid, head_key, dummy).reshape(-1),
+            jnp.where(tail_valid, tail_key, dummy).reshape(-1),
         ])
         vals_all = jnp.concatenate([em_rows, first_rows, tail_rows], axis=0)
 
-        NT = num_msms * NB
-        init = jnp.broadcast_to(jnp.asarray(ident_row_np), (NT + 1, F3))
-        buckets = init.at[keys_all].set(vals_all)[:NT]        # (NT, F3) u16
+        init = jnp.broadcast_to(jnp.asarray(ident_row_np),
+                                (wb * NT + 1, F3))
+        return init.at[keys_flat].set(vals_all)[:wb * NT]  # (wb*NT, F3)
 
-        # -- weighted bucket reduction: per-MSM sum_b b * bucket_b -----------
-        barrs = buckets.T.astype(jnp.uint32).reshape(
-            3 * deg, L.NUM_LIMBS, NT)
+    # -- weighted bucket reduction: per-MSM sum_b b * bucket_b, batched
+    # over a GROUP of windows jointly so every level op runs at
+    # (wblock * lanes) width.  Buckets are stored in BIT-REVERSED digit
+    # order (the scatter uses bitrev'd keys), so each halving level
+    # pairs a bucket with its LSB-of-weight partner via a CONTIGUOUS
+    # half-split of the lane axis — no strided even/odd lane shuffles
+    # anywhere (per-window shrinking + strided splits made the old
+    # reduction ~50% of MSM wall time at 2^18-2^20 despite ~10x less
+    # arithmetic than the scan).
+    def reduce_group(bt):
+        """(W, NT, F3) u16 tables -> per-coord (W, 48, num_msms).
+
+        All arithmetic runs on FLAT rank-2 (48, X) tensors (block axes
+        strand the VPU sublane dim; window/msm blocks are contiguous
+        and power-of-two sized, so the even/odd adjacent pairing never
+        straddles a block).  Early WIDE levels are processed in
+        VMEM-sized chunks: a stacked Montgomery multiply beyond ~2^15
+        lanes spills its (50, X) scan accumulator to HBM and pays the
+        48-iteration round-trip 48 times over — chunking keeps every
+        multiply VMEM-resident."""
+        Wn = bt.shape[0]
+        G = Wn * num_msms
+        barrs = jnp.moveaxis(bt, 2, 0).astype(jnp.uint32).reshape(
+            3 * deg, L.NUM_LIMBS, G * NB)
         Sp = cops.from_arrays(tuple(barrs[i] for i in range(3 * deg)),
                               lb=0xFFFF)
-        W0_arrs = cops.to_arrays(cops.zero((NT,)))
+        W0_arrs = cops.to_arrays(cops.zero((G * NB,)))
         W = cops.from_arrays(tuple(
             w + b * 0 for w, b in zip(W0_arrs, cops.to_arrays(Sp))),
             k=1, lb=0xFFFF)
+        ncrd = 3 * deg
 
-        def halves(P, m):
+        def halves(P):
+            # adjacent-pair split (pairs stay inside their block)
             arrs = cops.to_arrays(P)
-            A = tuple(a.reshape(a.shape[:-1] + (m // 2, 2))[..., 0]
+            A = tuple(a.reshape(a.shape[:-1] + (-1, 2))[..., 0]
                       for a in arrs)
-            B = tuple(a.reshape(a.shape[:-1] + (m // 2, 2))[..., 1]
+            B = tuple(a.reshape(a.shape[:-1] + (-1, 2))[..., 1]
                       for a in arrs)
             return cops.from_arrays(A), cops.from_arrays(B)
 
-        def level(Sp, W, m):
+        def level(Sp, W):
             # adjacent buckets pair up; A = even index (lower weight)
-            Sa, Sb = halves(cops.normalize_k(Sp), m)
-            Wa, Wb = halves(cops.normalize_k(W), m)
+            Sa, Sb = halves(cops.normalize_k(Sp))
+            Wa, Wb = halves(cops.normalize_k(W))
             W = cops.add(cops.add(Wa, Wb), Sb)
             Sp = cops.dbl(cops.add(Sa, Sb))
             return Sp, W
 
-        # wide levels: python-unrolled (bulk of the work, full batch);
-        # the halving stops at num_msms slots (one weighted sum per MSM)
-        m = NT
-        while m > max(REDUCE_FORI_WIDTH, 2 * num_msms):
-            Sp, W = level(Sp, W, m)
+        def norm_arrs(Sp, W):
+            return (cops.to_arrays(cops.normalize_k(Sp))
+                    + cops.to_arrays(cops.normalize_k(W)))
+
+        def from_st(st):
+            return (cops.from_arrays(st[:ncrd]),
+                    cops.from_arrays(st[ncrd:]))
+
+        def level_chunked(Sp, W):
+            """One halving level, fori-chunked to <= LEVEL_CHUNK lanes
+            per op so the stacked multiplies stay VMEM-resident."""
+            ins = norm_arrs(Sp, W)
+            X = ins[0].shape[-1]
+            K = X // LEVEL_CHUNK
+            if K <= 1 or L._hostcall_mult():
+                return level(Sp, W)
+
+            outs0 = tuple(jnp.zeros_like(a[..., :X // 2]) for a in ins)
+
+            def body(i, outs):
+                sl = tuple(jax.lax.dynamic_slice_in_dim(
+                    a, i * LEVEL_CHUNK, LEVEL_CHUNK, axis=-1)
+                    for a in ins)
+                Sp2, W2 = level(*from_st(sl))
+                res = norm_arrs(Sp2, W2)
+                return tuple(jax.lax.dynamic_update_slice_in_dim(
+                    o, r, i * (LEVEL_CHUNK // 2), axis=-1)
+                    for o, r in zip(outs, res))
+
+            outs = jax.lax.fori_loop(0, K, body, outs0)
+            return from_st(outs)
+
+        # wide levels: python-unrolled, chunk-bounded widths.  In
+        # hostcall-mult mode (CPU dryrun) unroll everything: compile is
+        # cheap (callbacks) and the fori tail's fixed-width element work
+        # IS the runtime there.
+        fori_width = 1 if L._hostcall_mult() else REDUCE_FORI_WIDTH
+        m = NB
+        while m > 1 and m * G > fori_width:
+            Sp, W = level_chunked(Sp, W)
             m //= 2
 
-        # narrow tail: ONE traced body iterated with fixed-width arrays.
-        # Each iteration halves the active prefix; lanes beyond it hold
-        # junk that never feeds back into the prefix (every complete-
-        # formula op is total, so junk is harmless).
-        def pad_back(P):
-            return tuple(
-                jnp.concatenate([a, a], axis=-1)[..., :m]
-                for a in cops.to_arrays(P))
+        if m > 1:
+            # narrow tail: ONE traced body iterated with fixed-width
+            # arrays.  Each iteration halves the live prefix of every
+            # block; pad_back re-doubles it in place, so lanes beyond a
+            # block's live prefix hold junk that never feeds back into
+            # it (every complete-formula op is total, junk is harmless).
+            def pad_back(P, m_live):
+                out = []
+                for a in cops.to_arrays(P):
+                    a2 = a.reshape(a.shape[:-1] + (G, m_live))
+                    a2 = jnp.concatenate([a2, a2], axis=-1)
+                    out.append(a2.reshape(a.shape[:-1]
+                                          + (G * 2 * m_live,)))
+                return tuple(out)
 
-        def tail_body(_, st):
-            sp_arrs, w_arrs = st
-            Sp, W = level(cops.from_arrays(sp_arrs),
-                          cops.from_arrays(w_arrs), m)
-            return (pad_back(Sp), pad_back(W))
+            def tail_body(_, st):
+                Sp, W = level(*from_st(st))
+                return (pad_back(Sp, m // 2) + pad_back(W, m // 2))
 
-        st = (cops.to_arrays(cops.normalize_k(Sp)),
-              cops.to_arrays(cops.normalize_k(W)))
-        iters = (m // num_msms).bit_length() - 1
-        st = jax.lax.fori_loop(0, iters, tail_body, st)
-        W = cops.from_arrays(tuple(a[..., :num_msms] for a in st[1]))
-        return cops.to_arrays(cops.normalize_k(W))      # each (48, num_msms)
+            st = tuple(norm_arrs(Sp, W))
+            st = jax.lax.fori_loop(0, m.bit_length() - 1, tail_body, st)
+            # live element of each block is its first slot
+            W = cops.from_arrays(tuple(
+                a.reshape(a.shape[:-1] + (G, m))[..., 0]
+                for a in st[ncrd:]))
+        # per-coord (48, G) -> (Wn, 48, num_msms)
+        return tuple(
+            jnp.moveaxis(a.reshape(L.NUM_LIMBS, Wn, num_msms), 1, 0)
+            for a in cops.to_arrays(cops.normalize_k(W)))
 
     def all_windows(scalar_limbs):
         limbs = scalar_limbs.astype(jnp.int32)                # (48, n)
         if c == 16:
             keys_all = limbs
-        else:
+        elif c == 8:
             # byte digits, little-endian within each 16-bit limb
             keys_all = jnp.stack(
                 [limbs & 0xFF, limbs >> 8], axis=1).reshape(
                     2 * L.NUM_LIMBS, -1)
+        else:
+            # nibble digits (c=4): tiny bucket tables for callback-mode
+            # dryruns and very small MSMs
+            keys_all = jnp.stack(
+                [limbs & 0xF, (limbs >> 4) & 0xF,
+                 (limbs >> 8) & 0xF, (limbs >> 12) & 0xF],
+                axis=1).reshape(4 * L.NUM_LIMBS, -1)
 
         if num_windows is not None:
             # structural smoke runs (dryrun): process only the low
             # windows — the kernel is identical, the result partial
             keys_all = keys_all[:num_windows]
 
-        def body(_, digits):
-            return 0, window_msm(digits + seg_shift)
+        nwin_t = keys_all.shape[0]
 
-        _, Ws = jax.lax.scan(body, 0, keys_all)
-        return Ws
+        def fit_block(target):
+            wb = min(nwin_t, max(1, target))
+            while nwin_t % wb:
+                wb -= 1
+            return wb
+
+        # scan blocking: 1 on real hardware (the scan is already lane-
+        # saturated at production sizes; blocking multiplies the gather/
+        # transpose footprint and measured 5x SLOWER at 2^18).  Reduce
+        # blocking widens the (window,msm) sublane axis of the bucket
+        # reduction.  GROTH16_WB_SCAN / GROTH16_WB_RED override.
+        import os
+        wb_scan = fit_block(int(os.environ.get("GROTH16_WB_SCAN", 0)) or 1)
+        wb_red = fit_block(
+            int(os.environ.get("GROTH16_WB_RED", 0)) or
+            max(REDUCE_GROUP_LANES // NT, 8 // num_msms))
+        if L._hostcall_mult():
+            # callback-mode dryrun: invocation count is the runtime, so
+            # push every window through one batched pass
+            wb_scan = wb_red = nwin_t
+
+        # per-window keys with global (window, msm) bucket offsets; the
+        # sort is per-window (axis -1), so constant offsets are inert
+        keys_off = keys_all + seg_shift[None, :]
+
+        def scan_body(carry, kg_and_off):
+            kg, w_off = kg_and_off
+            return carry, group_msm(kg + w_off[:, None])
+
+        offs = (jnp.arange(nwin_t, dtype=jnp.int32) % wb_scan) * NT
+        if wb_scan == nwin_t:
+            bt = group_msm(keys_off + offs[:, None])
+        else:
+            grp_keys = keys_off.reshape(nwin_t // wb_scan, wb_scan, -1)
+            grp_offs = offs.reshape(nwin_t // wb_scan, wb_scan)
+            _, bts = jax.lax.scan(scan_body, 0, (grp_keys, grp_offs))
+            bt = bts.reshape(nwin_t * NT, -1)
+        bt = bt.reshape(nwin_t, NT, -1)
+
+        if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
+            # profiling knob: time the bucket-scan phase alone (the
+            # checksum keeps the scan from being dead-code-eliminated)
+            s = bt.astype(jnp.uint32).sum()
+            z = jnp.zeros((nwin_t, L.NUM_LIMBS, num_msms), jnp.uint32) + s
+            return tuple(z for _ in range(3 * deg))
+
+        def red_body(_, btg):
+            return 0, reduce_group(btg)
+
+        if wb_red == nwin_t:
+            return reduce_group(bt)
+        _, Ws = jax.lax.scan(red_body, 0,
+                             bt.reshape(nwin_t // wb_red, wb_red, NT, -1))
+        return tuple(a.reshape((nwin_t,) + a.shape[2:]) for a in Ws)
 
     return all_windows(scalar_limbs)
 
@@ -416,31 +585,48 @@ def window_sums_to_host(cops: CurveOps, ws, host_group, p: int,
     return out if num_msms > 1 else out[0]
 
 
-def finalize_msm(host_group, window_pts) -> tuple:
-    """Horner recombination: result = sum_w 2^(cw) * W_w, exact on host.
+def proj_to_host(host_group, pt):
+    """Homogeneous projective (X:Y:Z) int tuple -> host group element."""
+    x, y, z = pt
+    if host_group.deg == 1:
+        if z % host_group.p == 0:
+            return host_group.zero
+        zi = pow(z, -1, host_group.p)
+        return host_group.from_affine((x * zi % host_group.p,
+                                       y * zi % host_group.p))
+    from ..host import field as HF
+    p = host_group.p
+    if all(c % p == 0 for c in z):
+        return host_group.zero
+    zi = HF.e_inv(z, p, host_group.alpha)
+    return host_group.from_affine((
+        HF.e_mul(x, zi, p, host_group.alpha),
+        HF.e_mul(y, zi, p, host_group.alpha)))
+
+
+def finalize_msm(host_group, window_pts, cbits: int = None,
+                 num_windows: int = None) -> tuple:
+    """Horner recombination: result = sum_w 2^(cbits*w) * W_w, exact on host.
+
+    `cbits` is the window bit-width the sums were computed with; when
+    omitted it is inferred from the window count, which is only valid for
+    full-scalar runs (48 or 96 windows) — a partial num_windows run must
+    pass both explicitly (the result is then the partial low-window sum).
 
     Device points are homogeneous projective (X:Y:Z); the host oracle group
     is Jacobian, so convert via affine (X/Z, Y/Z).
     """
     def to_host(pt):
-        x, y, z = pt
-        if host_group.deg == 1:
-            if z % host_group.p == 0:
-                return host_group.zero
-            zi = pow(z, -1, host_group.p)
-            return host_group.from_affine((x * zi % host_group.p,
-                                           y * zi % host_group.p))
-        from ..host import field as HF
-        p = host_group.p
-        if all(c % p == 0 for c in z):
-            return host_group.zero
-        zi = HF.e_inv(z, p, host_group.alpha)
-        return host_group.from_affine((
-            HF.e_mul(x, zi, p, host_group.alpha),
-            HF.e_mul(y, zi, p, host_group.alpha)))
+        return proj_to_host(host_group, pt)
 
     nwin = len(window_pts)
-    cbits = 768 // nwin
+    if cbits is None:
+        assert nwin in (48, 96), (
+            f"cannot infer window width from {nwin} windows; pass cbits "
+            f"(partial num_windows runs yield partial sums)")
+        cbits = 768 // nwin
+    elif num_windows is not None:
+        assert nwin == num_windows
     acc = host_group.zero
     for w in range(nwin - 1, -1, -1):
         for _ in range(cbits):

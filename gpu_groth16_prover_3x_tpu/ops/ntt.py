@@ -158,7 +158,10 @@ def compute_h_device(plan: NttPlan, ca, cb, cc):
     h = divide_by_z_on_coset(plan, h)
     h = icoset_fft(plan, h)
     h = F.reduce(h, 2)
-    # standard-domain digits for the H MSM: x * R^-1 via mont_mul(x, 1)
+    # standard-domain digits for the H MSM: x * R^-1 via mont_mul(x, 1),
+    # then one conditional subtract so digits are canonical (< p) like
+    # the reference's from_monty (fp.tcc) — mont_mul alone can leave a
+    # value in [p, 2p)
     one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
-    h_std = F.mul(h, Fel(one_std, 1))
-    return h.v, h_std.v
+    h_std = L.cond_sub_kp(F.ctx, F.mul(h, Fel(one_std, 1)).v, 1)
+    return h.v, h_std

@@ -5,7 +5,17 @@ over the mesh for all five MSMs, the H-pipeline's NTT domain sharded with
 all-to-all stage exchanges (parallel/sharded.py).  This is the "full
 training step" analog used by __graft_entry__.dryrun_multichip and by the
 scaling configs in BASELINE.md (2^22 single host / 2^24 pod slice).
+
+The device computation — H pipeline, scalar from_monty, fused G1 MSM,
+G2 MSM — runs as four phase-jits whose intermediate arrays stay
+device-resident and sharded: no host round-trip between the NTT and the
+MSMs (the reference's CPU<->GPU split at cuda_prover_piecewise.cu:174-193
+has no reason to exist on TPU), and the independent MSM dispatches stay
+async so XLA can overlap them the way the reference overlaps CUDA
+streams with the CPU FFT.
 """
+
+import time
 
 import jax
 import jax.numpy as jnp
@@ -53,18 +63,29 @@ def compute_h_sharded(splan: ShardedNttPlan, mesh: Mesh, ca, cb, cc):
     h = F.mul(intt_s(Fel(F.reduce(h, 2).v, 2)), coset_inv)
     h = F.reduce(h, 2)
     one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
-    h_std = F.mul(h, Fel(one_std, 1))
-    return h.v, h_std.v
+    # digits for the H MSM: fully reduced below p (the reference's
+    # from_monty is canonical, fp.tcc from_monty; mont_mul alone can
+    # leave the value in [p, 2p))
+    h_std = L.cond_sub_kp(F.ctx, F.mul(h, Fel(one_std, 1)).v, 1)
+    return h.v, h_std
 
 
 def prove_sharded(curve: CurveParams, params: DeviceParams,
                   inputs: DeviceInput, mesh: Mesh, chunk_s: int = 8,
-                  c: int = 8, num_windows: int = None):
+                  c: int = 8, num_windows: int = None,
+                  primary_input_size: int = 1, verbose: bool = False):
     """Distributed proof; returns affine (A, B2, C) host tuples.
 
     Mirrors models/tpu_prover.prove with every MSM points-sharded and the
-    H pipeline domain-sharded.
+    H pipeline domain-sharded, all fused into one jitted step.
     """
+    _T0 = time.time()
+
+    def log(msg):
+        if verbose:
+            print(f"[prove_sharded +{time.time()-_T0:.1f}s] {msg}",
+                  flush=True)
+
     g1 = get_curve_ops(curve, "g1")
     g2 = get_curve_ops(curve, "g2")
     frops = fr_ops(curve)
@@ -77,70 +98,127 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     def pad_n(n):
         return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
-    # -- H pipeline (domain-sharded NTT) ------------------------------------
     plan = get_plan(curve.fr, d + 1)
     splan = get_sharded_plan(plan, ndev)
     shard_cols = NamedSharding(mesh, P(None, AXIS))
+    shard_rows = NamedSharding(mesh, P(AXIS, None))
 
     def put_cols(rows_np):
         arr = jnp.asarray(np.ascontiguousarray(rows_np.T).astype(np.uint32))
         return jax.device_put(arr, shard_cols)
 
-    _, h_std = compute_h_sharded(
-        splan, mesh, put_cols(inputs.ca), put_cols(inputs.cb),
-        put_cols(inputs.cc))
-
-    # -- scalars ---------------------------------------------------------------
-    # pad the witness to a shardable length (extra zeros decode to zero
-    # digits -> weight-0 buckets)
+    # -- host-side data prep (numpy only; no device math) --------------------
+    # witness scalars padded to a shardable length (extra zeros decode to
+    # zero digits -> weight-0 buckets)
     w_rows = inputs.w_mont
     w_pad = ((w_rows.shape[0] + ndev - 1) // ndev) * ndev
     if w_pad != w_rows.shape[0]:
         w_rows = np.concatenate([
-            w_rows, np.zeros((w_pad - w_rows.shape[0], 48),
-                             w_rows.dtype)])
-    w_mont = put_cols(w_rows)
-    one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
-    w_keys = frops.mul(Fel(w_mont, 1), Fel(one_std, 1)).v
+            w_rows, np.zeros((w_pad - w_rows.shape[0], 48), w_rows.dtype)])
 
-    # -- MSMs (points-DP, fused G1 kernel like models/tpu_prover.py) -----
-    def pad2(arr_np, n_pad):
-        return pad_rows(np.asarray(arr_np), n_pad)
-
-    w_keys_np = np.asarray(w_keys)
-    h_std_np = np.asarray(h_std)
+    # L query skips the primary inputs: scalars w[primary+1 .. m]
+    # (cuda_prover_piecewise.cu:167's `w + (primary+1)*ELT_LIMBS` offset)
+    pi1 = primary_input_size + 1
+    nL = np.asarray(params.L).shape[0]
     g1_rows_np = np.concatenate([
         np.asarray(params.A)[:m + 1], np.asarray(params.B1)[:m + 1],
-        np.asarray(params.L)[:m - 1], np.asarray(params.H)[:d]])
+        np.asarray(params.L)[:nL], np.asarray(params.H)[:d]])
     n_tot = g1_rows_np.shape[0]
     n_pad1 = pad_n(n_tot)
-    g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad1))
-    g1_keys = jnp.asarray(np.concatenate([
-        w_keys_np[:, :m + 1], w_keys_np[:, :m + 1],
-        w_keys_np[:, 2:m + 1], h_std_np[:, :d],
-        np.zeros((48, n_pad1 - n_tot), np.uint32)], axis=1))
-    seg = jnp.asarray(np.concatenate([
-        np.full(m + 1, 0), np.full(m + 1, 1), np.full(m - 1, 2),
-        np.full(d, 3), np.full(n_pad1 - n_tot, 3)]).astype(np.int32))
-    ws_g1 = sharded_msm_window_sums(g1, mesh, g1_keys, g1_rows,
-                                    chunk_s, c, seg, 4, num_windows)
-
+    seg_np = np.concatenate([
+        np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
+        np.full(d, 3), np.full(n_pad1 - n_tot, 3)]).astype(np.int32)
     n2_pad = pad_n(m + 1)
-    b2_rows = jnp.asarray(pad2(params.B2[:m + 1], n2_pad))
-    b2_keys = jnp.asarray(np.pad(
-        w_keys_np[:, :m + 1],
-        ((0, 0), (0, n2_pad - (m + 1)))).astype(np.uint32))
-    ws_B2 = sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows, chunk_s,
-                                    c, None, 1, num_windows)
 
-    # -- host assembly -------------------------------------------------------------
+    dev_in = dict(
+        ca=put_cols(inputs.ca), cb=put_cols(inputs.cb),
+        cc=put_cols(inputs.cc), w_mont=put_cols(w_rows),
+        g1_rows=jax.device_put(
+            jnp.asarray(pad_rows(g1_rows_np, n_pad1)), shard_rows),
+        seg=jax.device_put(jnp.asarray(seg_np), NamedSharding(mesh, P(AXIS))),
+        b2_rows=jax.device_put(
+            jnp.asarray(pad_rows(np.asarray(params.B2)[:m + 1], n2_pad)),
+            shard_rows),
+    )
+    log(f"inputs staged (g1 n={n_pad1}, g2 n={n2_pad})")
+
+    one_std_np = np.zeros((L.NUM_LIMBS, 1), np.uint32)
+    one_std_np[0, 0] = 1
+
+    # The step is four phase-jits (H pipeline / from_monty / G1 MSM /
+    # G2 MSM).  Arrays pass between phases as device-resident sharded
+    # jax arrays — no host sync anywhere before the final window-sum
+    # readback — while each phase stays a separately-compiled program
+    # (XLA's pass pipeline is superlinear in program size; the fused
+    # one-jit variant compiles far slower for zero runtime benefit, the
+    # phases being data-dependent).
+
+    def h_phase(ca, cb, cc):
+        return compute_h_sharded(splan, mesh, ca, cb, cc)[1]
+
+    def keys_phase(w_mont):
+        # scalars out of Montgomery, fully reduced (device from_monty)
+        return L.cond_sub_kp(
+            frops.ctx,
+            frops.mul(Fel(w_mont, 1), Fel(jnp.asarray(one_std_np), 1)).v, 1)
+
+    # Dryrun (hostcall) mode: the H pipeline is traced with callback
+    # multiplies (its XLA:CPU compile is otherwise pathological), while
+    # the MSM phases always trace real XLA kernels — callbacks inside
+    # the deep scan/while bodies convoy on the GIL under multi-partition
+    # CPU execution and starve XLA's collective rendezvous.
+    hostcall = L._hostcall_mult()
+
+    def g1_phase(w_keys, h_std, g1_rows, seg):
+        # fused G1 MSM (A / B1 / L / H in one kernel)
+        g1_keys = jnp.concatenate([
+            w_keys[:, :m + 1], w_keys[:, :m + 1],
+            w_keys[:, pi1:pi1 + nL], h_std[:, :d],
+            jnp.zeros((L.NUM_LIMBS, n_pad1 - n_tot), jnp.uint32)], axis=1)
+        return sharded_msm_window_sums(g1, mesh, g1_keys, g1_rows,
+                                       chunk_s, c, seg, 4, num_windows)
+
+    def g2_phase(w_keys, b2_rows):
+        b2_keys = jnp.pad(w_keys[:, :m + 1],
+                          ((0, 0), (0, n2_pad - (m + 1))))
+        return sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows,
+                                       chunk_s, c, None, 1, num_windows)
+
+    def sync(x):
+        # under verbose (dryrun) force per-phase completion so the
+        # progress log separates compile+run per phase; in production
+        # leave dispatches async so XLA can overlap the independent DAGs
+        if verbose:
+            jax.block_until_ready(x)
+        return x
+
+    log("compiling + running the distributed prove step (4 phase-jits)")
+    with L.hostcall_scope(hostcall):
+        h_std = sync(jax.jit(h_phase)(dev_in["ca"], dev_in["cb"],
+                                      dev_in["cc"]))
+        log("H pipeline done")
+        w_keys = sync(jax.jit(keys_phase)(dev_in["w_mont"]))
+        log("from_monty done")
+    with L.hostcall_scope(False):
+        ws_g1 = sync(jax.jit(g1_phase)(w_keys, h_std, dev_in["g1_rows"],
+                                       dev_in["seg"]))
+        log("G1 fused MSM done")
+        ws_B2 = jax.jit(g2_phase)(w_keys, dev_in["b2_rows"])
+        jax.block_until_ready(ws_B2)
+    log("G2 MSM done; device step complete")
+
+    # -- host assembly -------------------------------------------------------
     p = curve.fq.p
-    g1_pts = window_sums_to_host(g1, ws_g1, hg1, p, num_msms=4)
-    At = finalize_msm(hg1, g1_pts[0])
-    Bt1 = finalize_msm(hg1, g1_pts[1])
-    Lt = finalize_msm(hg1, g1_pts[2])
-    Ht = finalize_msm(hg1, g1_pts[3])
-    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p))
+
+    def finalize(cops_grp, hg, ws, num_msms):
+        """Combined window sums -> per-MSM group elements."""
+        pts = window_sums_to_host(cops_grp, ws, hg, p, num_msms)
+        pts = pts if num_msms > 1 else [pts]
+        return [finalize_msm(hg, pl, c, num_windows) for pl in pts]
+
+    At, Bt1, Lt, Ht = finalize(g1, hg1, ws_g1, 4)
+    Bt2 = finalize(g2, hg2, ws_B2, 1)[0]
+    log("host assembly done")
 
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     return (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))

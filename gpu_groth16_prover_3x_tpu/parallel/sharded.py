@@ -46,6 +46,17 @@ from ..ops.ntt import NttPlan
 AXIS = "data"
 
 
+def _shmap_kwargs() -> dict:
+    """shard_map options.  In dryrun mode (GROTH16_HOSTCALL_MULT set, CPU
+    backend) the varying-axes checker is disabled: its analysis hangs
+    lowering over pure_callback ops (>150s vs 2.6s) and costs ~250s over
+    the real MSM kernel body; the production paths keep full checking."""
+    import os
+    if os.environ.get("GROTH16_HOSTCALL_MULT") and L._cpu_backend():
+        return {"check_vma": False}
+    return {}
+
+
 # -- sharded MSM -----------------------------------------------------------------
 
 def _combine_window_sums(cops: CurveOps, ws_stacked):
@@ -84,12 +95,20 @@ def _combine_window_sums(cops: CurveOps, ws_stacked):
 def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
                             chunk_s: int = 16, c: int = 16,
                             seg_ids=None, num_msms: int = 1,
-                            num_windows: int = None):
+                            num_windows: int = None,
+                            combine: bool = True):
     """MSM window sums with points sharded over the mesh axis.
 
     keys: (48, n) uint32 digit limbs; rows: (n, F) uint16 affine rows;
     n must be divisible by (num_devices * chunk_s).  seg_ids/num_msms
     fuse several same-group MSMs exactly as in ops/msm.py.
+
+    combine=False skips the on-device cross-shard combine and returns
+    the stacked per-shard sums (D, nwin, 48, num) — the output sharding
+    keeps every shard local, so the program contains NO collective after
+    the callback-heavy kernel (the hostcall dryrun combines on host:
+    XLA:CPU's collective rendezvous hard-aborts at 40s of thread skew,
+    which GIL-serialized callbacks exceed).
     """
     ndev = mesh.shape[AXIS]
     n = rows.shape[0]
@@ -107,7 +126,10 @@ def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
         local, mesh=mesh,
         in_specs=(P(None, AXIS), P(AXIS, None), P(AXIS)),
         out_specs=tuple([P(AXIS, None, None, None)] * (3 * cops.F.deg)),
+        **_shmap_kwargs(),
     )(keys, rows, seg_ids)
+    if not combine:
+        return ws_sharded
     return _combine_window_sums(cops, ws_sharded)
 
 
@@ -244,4 +266,5 @@ def sharded_ntt(splan: ShardedNttPlan, mesh: Mesh, x, inverse: bool = False):
         body, mesh=mesh,
         in_specs=(P(None, AXIS), P(None, AXIS, None)),
         out_specs=P(None, AXIS),
+        **_shmap_kwargs(),
     )(x, tw_mat_full)
