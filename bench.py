@@ -1,15 +1,21 @@
-"""Benchmark: MNT4753 G1 Pippenger MSM throughput (the BASELINE.json
-north-star kernel — "G1 MSM points/sec at 2^20").
+"""Benchmark: MNT4753 G1 Pippenger MSM throughput + full-proof latency.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N,
+   "detail": {..., "proof": {...}}}
 
-The reference publishes no numeric MSM throughput (BASELINE.md: qualitative
-"3x faster than CPU" only), so vs_baseline is the ratio against the first
-recorded TPU number in BASELINE.md (1.0 until a prior round exists).
+The primary metric stays the BASELINE.json north-star kernel ("G1 MSM
+points/sec at 2^20", comparable across rounds via vs_baseline); the
+`detail.proof` block adds the reference's primary observable — full
+proof wall time with the cuda_prover_piecewise.cu:143-229 phase labels —
+for an MNT4753 parameter set of BENCH_PROOF_LOG2D (default 2^16)
+constraints.  Proof inputs are generated once with the device setup tool
+(models/setup_device.py, byte-identical to the host oracle) and cached
+under .bench_cache/ so repeat runs skip generation.
 
 Env knobs: BENCH_LOG2N (default 20), BENCH_CHUNK (default 64),
-BENCH_REPS (default 3).
+BENCH_REPS (default 3), BENCH_PROOF_LOG2D (default 16; 0 disables the
+proof leg), BENCH_SKIP_PROOF=1.
 """
 
 import json
@@ -28,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_POINTS_PER_SEC = 33642.6
 
 
-def main() -> None:
+def bench_msm() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +60,9 @@ def main() -> None:
     rows = np.tile(base_rows, (n // 64, 1))
     rng = np.random.default_rng(7)
     keys = rng.integers(0, 1 << 16, size=(48, n), dtype=np.uint32)
-    keys[47] = 0  # keep scalars < 2^752 < r
+    # top window: one live bit, like a real scalar < r ~ 2^753 (a zeroed
+    # top window would shave ~2% of the work and flatter the number)
+    keys[47] = rng.integers(0, 2, size=n, dtype=np.uint32)
 
     keys_d = jax.device_put(jnp.asarray(keys))
     rows_d = jax.device_put(jnp.asarray(rows))
@@ -74,18 +82,95 @@ def main() -> None:
     best = min(times)
     pps = n / best
 
+    import jax as _jax
+    return {
+        "log2n": log2n, "n": n, "chunk": chunk,
+        "points_per_sec": round(pps, 1),
+        "best_s": round(best, 3),
+        "all_s": [round(t, 3) for t in times],
+        "compile_and_first_s": round(compile_and_first, 1),
+        "device": str(_jax.devices()[0]).split(":")[0],
+    }
+
+
+def bench_proof() -> dict:
+    """Full prove_files run (the reference's primary observable).
+
+    Parameter/input files are generated once via the device setup tool
+    and cached in .bench_cache/ keyed by curve + size.
+    """
+    from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
+    from gpu_groth16_prover_3x_tpu.models import tpu_prover
+    from gpu_groth16_prover_3x_tpu.models import setup as setup_model
+    from gpu_groth16_prover_3x_tpu.utils import profiling
+
+    log2d = int(os.environ.get("BENCH_PROOF_LOG2D", "16"))
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    params_path = os.path.join(cache, f"MNT4753-parameters-{log2d}")
+    input_path = os.path.join(cache, f"MNT4753-input-{log2d}")
+    output_path = os.path.join(cache, f"MNT4753-output-{log2d}")
+
+    gen_s = None
+    if not (os.path.isfile(params_path) and os.path.isfile(input_path)):
+        t0 = time.time()
+        setup_model.generate_parameters(MNT4753, log2d, params_path,
+                                        input_path, seed=0xBE7C)
+        gen_s = round(time.time() - t0, 1)
+
+    timer_laps = {}
+    orig_cls = profiling.PhaseTimer
+
+    class _CaptureTimer(orig_cls):
+        def __init__(self):
+            super().__init__()
+            timer_laps["laps"] = self.laps
+
+    profiling.PhaseTimer = _CaptureTimer
+    try:
+        t0 = time.time()
+        tpu_prover.prove_files(MNT4753, params_path, input_path, output_path)
+        total = time.time() - t0
+    finally:
+        profiling.PhaseTimer = orig_cls
+
+    # second run: steady-state latency (jit caches warm)
+    t0 = time.time()
+    tpu_prover.prove_files(MNT4753, params_path, input_path, output_path)
+    warm = time.time() - t0
+
+    out = {
+        "metric": f"mnt4753_proof_seconds_2^{log2d}",
+        "cold_s": round(total, 2),
+        "warm_s": round(warm, 2),
+        "phases": {k: round(v, 3) for k, v in
+                   timer_laps.get("laps", {}).items()},
+    }
+    if gen_s is not None:
+        out["param_gen_s"] = gen_s
+    return out
+
+
+def main() -> None:
+    msm = bench_msm()
+    detail = dict(msm)
+
+    if not os.environ.get("BENCH_SKIP_PROOF") and \
+            int(os.environ.get("BENCH_PROOF_LOG2D", "16")):
+        try:
+            detail["proof"] = bench_proof()
+        except Exception as e:  # pragma: no cover - report, don't fail
+            detail["proof_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    pps = msm["points_per_sec"]
     vs = pps / BASELINE_POINTS_PER_SEC if BASELINE_POINTS_PER_SEC else 1.0
     print(json.dumps({
-        "metric": f"mnt4753_g1_msm_points_per_sec_2^{log2n}",
-        "value": round(pps, 1),
+        "metric": f"mnt4753_g1_msm_points_per_sec_2^{msm['log2n']}",
+        "value": pps,
         "unit": "points/sec",
         "vs_baseline": round(vs, 3),
-        "detail": {
-            "n": n, "chunk": chunk, "best_s": round(best, 3),
-            "all_s": [round(t, 3) for t in times],
-            "compile_and_first_s": round(compile_and_first, 1),
-            "device": str(jax.devices()[0]).split(":")[0],
-        },
+        "detail": detail,
     }))
 
 

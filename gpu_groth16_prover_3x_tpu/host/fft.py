@@ -23,6 +23,7 @@ curves/constants.get_root_of_unity.
 from typing import List
 
 from ..curves.constants import FieldParams, get_root_of_unity
+from ..utils import native
 
 
 class Radix2Domain:
@@ -43,6 +44,12 @@ class Radix2Domain:
         """In-place iterative radix-2 DIT (same maths as aux.tcc:168-202)."""
         p = self.p
         n = len(a)
+        if n >= 64:
+            # native butterfly loops (csrc/limb_host.cpp g16_fft) for
+            # reference-scale (2^16+) oracle runs
+            res = native.fft_ints(a, omega, p)
+            if res is not None:
+                return res
         logn = n.bit_length() - 1
         # bit-reverse permutation
         for k in range(n):

@@ -24,7 +24,7 @@ from typing import List, Optional, Tuple
 from ..curves.constants import CurveParams
 from . import ec
 from .fft import Radix2Domain
-from .msm import batch_exp, get_exp_window_size, msm, window_table
+from .msm import fixed_base_msm, get_exp_window_size, msm
 from .r1cs import R1CS, evaluate_lc, generate_r1cs_example_with_field_input
 
 
@@ -41,6 +41,33 @@ class Trapdoor:
     bt: List[int]
     ct: List[int]
     zt: int
+    gamma: int = 0  # 0 = setup predates the vk path; derive_keys draws it in
+
+
+@dataclass
+class VerifyingKey:
+    """Public verification key (r1cs_gg_ppzksnark.tcc:346-377 analog).
+
+    alpha_g1/beta_g2 are kept as group elements (the pairing
+    e(alpha_g1, beta_g2) is computed at verify time rather than cached
+    as a GT value, since no reference file format carries GT).
+    """
+    alpha_g1: tuple        # affine G1
+    beta_g2: tuple         # affine G2
+    gamma_g2: tuple        # affine G2
+    delta_g2: tuple        # affine G2
+    gamma_abc_g1: list     # affine G1, len num_inputs + 1
+
+
+@dataclass
+class ProvingKeyExtras:
+    """The alpha/beta/delta group elements the FULL prover adds on top of
+    the challenge query tables (r1cs_gg_ppzksnark.tcc:381-496)."""
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    delta_g1: tuple
+    delta_g2: tuple
 
 
 @dataclass
@@ -138,17 +165,18 @@ def setup(curve: CurveParams, log2_d: int,
     g1_gen = g1.mul(g1_dlog, ec.g1_generator(curve))
     g2_gen = ec.g2_generator(curve)
 
-    bits = 753
     w1 = get_exp_window_size(3 * (m + 1))
-    tbl1 = window_table(g1, bits, w1, g1_gen)
     w2 = get_exp_window_size(m + 1)
-    tbl2 = window_table(g2, bits, w2, g2_gen)
-
-    A_q = batch_exp(g1, bits, w1, tbl1, at)
-    B1_q = batch_exp(g1, bits, w1, tbl1, bt)
-    B2_q = batch_exp(g2, bits, w2, tbl2, bt)
-    L_q = batch_exp(g1, bits, w1, tbl1, lt)
-    H_q = batch_exp(g1, bits, w1, tbl1, ht)
+    # one table build serves all four G1 query vectors
+    g1_scalars = at + bt + lt + ht
+    g1_pts = fixed_base_msm(g1, g1_gen, g1_scalars, w1)
+    na, nb = len(at), len(bt)
+    nl = len(lt)
+    A_q = g1_pts[:na]
+    B1_q = g1_pts[na:na + nb]
+    L_q = g1_pts[na + nb:na + nb + nl]
+    H_q = g1_pts[na + nb + nl:]
+    B2_q = fixed_base_msm(g2, g2_gen, bt, w2)
 
     A_aff = g1.batch_to_affine(A_q)
     B1_aff = g1.batch_to_affine(B1_q)
@@ -169,11 +197,14 @@ def setup(curve: CurveParams, log2_d: int,
         cb[i] = (cb[i] + evaluate_lc(cons.b, full_assignment, r_mod)) % r_mod
         cc[i] = (cc[i] + evaluate_lc(cons.c, full_assignment, r_mod)) % r_mod
     r = rng.randrange(r_mod)
+    # drawn LAST so the params/input byte streams match pre-vk setups
+    gamma = rng.randrange(1, r_mod)
 
     return SetupResult(
         d=d, m=m, A=A_aff, B1=B1_aff, B2=B2_aff, L=L_aff, H=H_aff,
         w=w, ca=ca, cb=cb, cc=cc, r=r,
-        trapdoor=Trapdoor(t, alpha, beta, delta, g1_dlog, at, bt, ct, zt),
+        trapdoor=Trapdoor(t, alpha, beta, delta, g1_dlog, at, bt, ct, zt,
+                          gamma),
     )
 
 
@@ -245,6 +276,148 @@ def prove(curve: CurveParams, params, inputs, mask_bits: int = None):
     return (g1.to_affine(evaluation_At),
             g2.to_affine(evaluation_Bt2),
             g1.to_affine(C))
+
+
+def derive_keys(curve: CurveParams, result: "SetupResult",
+                num_inputs: int = 1
+                ) -> Tuple[VerifyingKey, ProvingKeyExtras]:
+    """Derive the full-Groth16 key material from a challenge setup.
+
+    The challenge pipeline's files carry no vk
+    (generate_parameters.cpp:60-108 writes only the query tables), so
+    the vk is reconstructed from the retained trapdoor exactly as the
+    generator would have built it (r1cs_gg_ppzksnark.tcc:289-377):
+    gamma_abc_i = (beta*At_i + alpha*Bt_i + Ct_i) / gamma for the
+    primary indices, and plain generator multiples for the rest.
+    """
+    r_mod = curve.fr.p
+    td = result.trapdoor
+    if not td.gamma:
+        raise ValueError("setup predates gamma; re-run setup")
+    g1 = ec.g1_group(curve)
+    g2 = ec.g2_group(curve)
+    g1_gen = g1.mul(td.g1_dlog, ec.g1_generator(curve))
+    g2_gen = ec.g2_generator(curve)
+
+    gamma_inv = pow(td.gamma, -1, r_mod)
+    abc = [
+        (td.beta * td.at[i] + td.alpha * td.bt[i] + td.ct[i])
+        * gamma_inv % r_mod
+        for i in range(num_inputs + 1)
+    ]
+    vk = VerifyingKey(
+        alpha_g1=g1.to_affine(g1.mul(td.alpha, g1_gen)),
+        beta_g2=g2.to_affine(g2.mul(td.beta, g2_gen)),
+        gamma_g2=g2.to_affine(g2.mul(td.gamma, g2_gen)),
+        delta_g2=g2.to_affine(g2.mul(td.delta, g2_gen)),
+        gamma_abc_g1=[g1.to_affine(g1.mul(k, g1_gen)) for k in abc],
+    )
+    pk = ProvingKeyExtras(
+        alpha_g1=vk.alpha_g1,
+        beta_g1=g1.to_affine(g1.mul(td.beta, g1_gen)),
+        beta_g2=vk.beta_g2,
+        delta_g1=g1.to_affine(g1.mul(td.delta, g1_gen)),
+        delta_g2=vk.delta_g2,
+    )
+    return vk, pk
+
+
+def full_prove(curve: CurveParams, result: "SetupResult",
+               pk: ProvingKeyExtras, r: int = None, s: int = None,
+               rng: Optional[random.Random] = None):
+    """The LIBRARY-level Groth16 prover with alpha/beta offsets and
+    (r, s) zero-knowledge terms (r1cs_gg_ppzksnark.tcc:381-496) — the
+    variant the challenge prover deliberately strips (main.cpp:219).
+
+    Returns affine (g1_A, g2_B, g1_C), publicly verifiable by
+    `verify()` with only the vk.
+    """
+    r_mod = curve.fr.p
+    rng = rng or random.Random()
+    if r is None:
+        r = rng.randrange(r_mod)
+    if s is None:
+        s = rng.randrange(r_mod)
+    g1 = ec.g1_group(curve)
+    g2 = ec.g2_group(curve)
+    num_inputs = 1
+
+    h = compute_h(curve, result.d, result.ca, result.cb, result.cc)
+    w = result.w
+
+    A_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in result.A]
+    B1_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in result.B1]
+    B2_pts = [
+        g2.from_affine(xy) if not g2.fis_zero(xy[1]) else g2.zero
+        for xy in result.B2
+    ]
+    L_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in result.L]
+    H_pts = [g1.from_affine(xy) if xy[1] else g1.zero for xy in result.H]
+
+    alpha_g1 = g1.from_affine(pk.alpha_g1)
+    beta_g1 = g1.from_affine(pk.beta_g1)
+    beta_g2 = g2.from_affine(pk.beta_g2)
+    delta_g1 = g1.from_affine(pk.delta_g1)
+    delta_g2 = g2.from_affine(pk.delta_g2)
+
+    # g1_A = alpha + sum w_i A_i + r delta       (tcc:428-441)
+    g_A = g1.add(g1.add(alpha_g1, msm(g1, w, A_pts)),
+                 g1.mul(r, delta_g1))
+    # g2_B = beta + sum w_i B_i + s delta; g1_B mirror
+    g_B2 = g2.add(g2.add(beta_g2, msm(g2, w, B2_pts)),
+                  g2.mul(s, delta_g2))
+    g_B1 = g1.add(g1.add(beta_g1, msm(g1, w, B1_pts)),
+                  g1.mul(s, delta_g1))
+    # g1_C = sum_aux w L + sum h H + s A + r B1 - rs delta  (tcc:462-477)
+    g_C = g1.add(
+        g1.add(msm(g1, w[num_inputs + 1:], L_pts),
+               msm(g1, h[:result.d], H_pts)),
+        g1.add(g1.add(g1.mul(s, g_A), g1.mul(r, g_B1)),
+               g1.neg(g1.mul(r * s % r_mod, delta_g1))),
+    )
+    return (g1.to_affine(g_A), g2.to_affine(g_B2), g1.to_affine(g_C))
+
+
+def verify(curve: CurveParams, vk: VerifyingKey, primary_input: List[int],
+           proof) -> bool:
+    """Pairing-based Groth16 verification, vk only — no trapdoor.
+
+    e(A, B) == e(alpha, beta) * e(acc, gamma) * e(C, delta) with
+    acc = gamma_abc_0 + sum_i primary_i * gamma_abc_{i+1}
+    (r1cs_gg_ppzksnark.tcc:498-610).
+    """
+    from . import pairing as pr
+    p = curve.fq.p
+    alpha = curve.non_residue
+    g1 = ec.g1_group(curve)
+    g2 = ec.g2_group(curve)
+    if len(primary_input) + 1 != len(vk.gamma_abc_g1):
+        return False
+    proof_a, proof_b, proof_c = proof
+
+    acc = g1.from_affine(vk.gamma_abc_g1[0]) \
+        if vk.gamma_abc_g1[0][1] else g1.zero
+    for x, xy in zip(primary_input, vk.gamma_abc_g1[1:]):
+        pt = g1.from_affine(xy) if xy[1] else g1.zero
+        acc = g1.add(acc, g1.mul(int(x) % curve.fr.p, pt))
+
+    def load1(xy):
+        return g1.from_affine(xy) if xy[1] else g1.zero
+
+    def load2(xy):
+        return g2.from_affine(xy) if not g2.fis_zero(xy[1]) else g2.zero
+
+    a_pt, b_pt, c_pt = load1(proof_a), load2(proof_b), load1(proof_c)
+    for pt, grp in ((a_pt, g1), (b_pt, g2), (c_pt, g1)):
+        if not grp.is_on_curve(pt):
+            return False
+    # e(A,B) * e(-alpha,beta) * e(-acc,gamma) * e(-C,delta) == 1
+    return pr.pairing_product_is_one(curve, [
+        (a_pt, b_pt),
+        (g1.neg(g1.from_affine(vk.alpha_g1)), load2(vk.beta_g2)),
+        (g1.neg(acc), load2(vk.gamma_g2)),
+        (g1.neg(c_pt), load2(vk.delta_g2)),
+    ])
 
 
 def verify_with_trapdoor(curve: CurveParams, result: "SetupResult",

@@ -18,7 +18,14 @@ double as the executable spec for the TPU Pippenger kernels in ops/msm.py.
 import math
 from typing import List, Sequence
 
+from ..utils import native
 from .ec import Group, Point
+
+
+def _window_bits(n: int) -> int:
+    """The libff window heuristic log2(n) - (log2(n)/3 - 2) (multiexp.tcc:177)."""
+    logn = max(int(math.log2(n)), 1) if n > 1 else 1
+    return min(16, max(2, logn - (logn // 3 - 2)))
 
 
 def msm(group: Group, scalars: Sequence[int], points: Sequence[Point]) -> Point:
@@ -31,10 +38,14 @@ def msm(group: Group, scalars: Sequence[int], points: Sequence[Point]) -> Point:
     maxbits = max((s.bit_length() for s in scalars), default=1)
     if maxbits == 0:
         return group.zero
-    # window size ~ the libff heuristic log2(n) - (log2(n)/3 - 2)
-    logn = max(int(math.log2(n)), 1) if n > 1 else 1
-    c = max(2, logn - (logn // 3 - 2))
-    c = min(c, 16)
+    c = _window_bits(n)
+    # native C++ Pippenger (csrc/limb_host.cpp g16_msm) when available --
+    # required for reference-scale (2^16+) oracle runs
+    if n >= 64 and maxbits <= 753 and min(scalars) >= 0:
+        res = native.msm_jacobian(
+            group.p, group.deg, group.alpha, group.a, points, scalars, c)
+        if res is not None:
+            return res
     num_windows = (maxbits + c - 1) // c
     mask = (1 << c) - 1
 
@@ -103,6 +114,28 @@ def windowed_exp(group: Group, scalar_bits: int, window: int,
     for w in range(outerc):
         res = group.add(res, table[w][(s >> (w * window)) & mask])
     return res
+
+
+def fixed_base_msm(group: Group, base: Point, scalars: Sequence[int],
+                   window: int = None) -> List[Point]:
+    """[s * base for s in scalars] via one windowed table.
+
+    The get_window_table + batch_exp pairing of the trusted setup
+    (r1cs_gg_ppzksnark.tcc:289-345) as a single call, so the native
+    C++ kernel (csrc/limb_host.cpp g16_fixed_base_batch) can build its
+    table once and stream the scalars.  Falls back to the Python table
+    path when the native library is unavailable.
+    """
+    scalars = [int(s) for s in scalars]
+    if window is None:
+        window = get_exp_window_size(len(scalars))
+    if scalars and min(scalars) >= 0 and not group.is_zero(base):
+        res = native.fixed_base_batch(
+            group.p, group.deg, group.alpha, group.a, base, scalars, window)
+        if res is not None:
+            return res
+    table = window_table(group, 753, window, base)
+    return batch_exp(group, 753, window, table, scalars)
 
 
 def batch_exp(group: Group, scalar_bits: int, window: int,

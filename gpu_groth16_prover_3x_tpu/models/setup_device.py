@@ -188,9 +188,12 @@ def setup(curve: CurveParams, log2_d: int,
         cb[i] = (cb[i] + evaluate_lc(cons.b, full_assignment, r_mod)) % r_mod
         cc[i] = (cc[i] + evaluate_lc(cons.c, full_assignment, r_mod)) % r_mod
     r = rng.randrange(r_mod)
+    # drawn LAST so the params/input byte streams match pre-vk setups
+    gamma = rng.randrange(1, r_mod)
 
     return SetupResult(
         d=d, m=m, A=A_aff, B1=B1_aff, B2=B2_aff, L=L_aff, H=H_aff,
         w=w, ca=ca, cb=cb, cc=cc, r=r,
-        trapdoor=Trapdoor(t, alpha, beta, delta, g1_dlog, at, bt, ct, zt),
+        trapdoor=Trapdoor(t, alpha, beta, delta, g1_dlog, at, bt, ct, zt,
+                          gamma),
     )

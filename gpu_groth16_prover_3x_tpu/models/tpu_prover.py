@@ -23,6 +23,7 @@ libsnark/main.cpp:219):  A = w*A_query,  B = w*B2_query,
 C = H(x)*H_query + w_aux*L_query + r * (w*B1_query).
 """
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -93,6 +94,25 @@ def load_params(path: str, curve: CurveParams) -> DeviceParams:
     return DeviceParams(d, m, A, B1, B2, Lq, H)
 
 
+def load_preprocessed(path: str, curve: CurveParams, m: int, nL: int):
+    """Bulk load of `<CURVE>_preprocessed` multiples tables.
+
+    Layout (written by models/preprocess_device.py, byte-identical to the
+    reference's output_g1_multiples, libsnark/main.cpp:248-339; consumed
+    at cuda_prover_piecewise.cu:125-141): for each of B1 (m+1 G1), B2
+    (m+1 G2), L (nL G1) — 2^5 - 1 rows of affine points, row-major by
+    multiple, so flat index k*n + i holds (k+1) * P_i.
+    """
+    from .preprocess_device import PREPROCESS_C
+    deg = curve.ext_degree
+    nmul = (1 << PREPROCESS_C) - 1
+    with open(path, "rb") as f:
+        B1_t = _read_g1_rows(f, nmul * (m + 1))
+        B2_t = _read_g2_rows(f, nmul * (m + 1), deg)
+        L_t = _read_g1_rows(f, nmul * nL)
+    return B1_t, B2_t, L_t
+
+
 def load_input(path: str, curve: CurveParams, d: int, m: int) -> DeviceInput:
     """Bulk input load (layout: generate_parameters.cpp:88-107)."""
     with open(path, "rb") as f:
@@ -159,13 +179,19 @@ def _pad_keys(keys, n_pad: int):
 
 def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
           chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
-          c: int = None):
+          c: int = None, tables=None):
     """Full proof; returns affine (A, B2, C) host tuples.
 
     Call structure mirrors run_prover (cuda_prover_piecewise.cu:96-230);
     all heavy compute is device-resident, the final scalar-sized assembly
     C = Ht + Lt + r*Bt1 is exact host arithmetic like the reference's
     post-sync CPU epilogue (:188-200).
+
+    `tables`: optional (B1_t, B2_t, L_t) preprocessed multiples from
+    load_preprocessed — B1/B2/L then run the digit-indexed Straus kernel
+    (ops/straus.py) like the reference's table path
+    (cuda_prover_piecewise.cu:162-167), while A/H stay on the fused
+    Pippenger kernel.  Proof bytes are identical either way.
     """
     from ..ops.ec import get_curve_ops
     from ..ops.field import fr_ops as mk_fr
@@ -179,6 +205,13 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         # the 2^c-bucket reduction is O(2^c) EC ops per window: pick the
         # small window when n is small so it cannot dominate
         c = 16 if m >= (1 << 16) else 8
+        if L._cpu_backend():
+            # XLA:CPU (tests / oracle-parity CLI runs): nibble windows.
+            # The 2^8-bucket reduction at deg 3 costs ~13 min of XLA:CPU
+            # compile+run (its (50, 10^5)-lane CIOS scans thrash); c=4
+            # keeps bucket tables tiny.  Proofs are c-invariant, so CPU
+            # and TPU runs stay byte-identical.
+            c = 4
     # keep enough chunks (lanes) busy at small sizes
     chunk_s = min(chunk_s, max(8, (2 * m) // 128))
 
@@ -194,43 +227,82 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     w_keys = _from_monty_keys(frops, inputs.w_mont)  # (48, m+1)
     leave_block("scalar from_monty (device)")
 
-    enter_block("MSMs (device Pippenger)")
-    # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1, B2, L
-    # on three CUDA streams and A, H on the CPU — here the four G1 MSMs
-    # share a single sort/scan/reduce pass, cuda_prover_piecewise.cu:162-179)
     p = curve.fq.p
     pi1 = primary_input_size + 1
     nL = params.L.shape[0]
-    g1_rows_np = np.concatenate([
-        params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
-        params.H[:d]])
-    n_tot = g1_rows_np.shape[0]
-    n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
-    g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
-    g1_keys = jnp.concatenate([
-        w_keys[:, :m + 1], w_keys[:, :m + 1],
-        w_keys[:, pi1:pi1 + nL], h_std[:, :d],
-        jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
-    seg_np = np.concatenate([
-        np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
-        np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
-    ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
-                            jnp.asarray(seg_np), 4)
+    if tables is not None:
+        from ..ops.straus import STRAUS_C, straus_window_sums
+        B1_t, B2_t, L_t = tables
+        enter_block("MSMs (device: Straus tables + Pippenger A/H)")
+        # A and H have no tables (the reference computes them on the CPU,
+        # cuda_prover_piecewise.cu:171-187); keep them on one fused
+        # Pippenger kernel while B1/B2/L ride the digit-indexed tables
+        g1_rows_np = np.concatenate([params.A[:m + 1], params.H[:d]])
+        n_tot = g1_rows_np.shape[0]
+        n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
+        g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
+        g1_keys = jnp.concatenate([
+            w_keys[:, :m + 1], h_std[:, :d],
+            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
+        seg_np = np.concatenate([
+            np.full(m + 1, 0), np.full(d, 1),
+            np.full(n_pad - n_tot, 1)]).astype(np.int32)
+        ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
+                                jnp.asarray(seg_np), 2)
+        ws_B1 = straus_window_sums(g1, w_keys[:, :m + 1],
+                                   jnp.asarray(B1_t))
+        ws_L = straus_window_sums(g1, w_keys[:, pi1:pi1 + nL],
+                                  jnp.asarray(L_t))
+        ws_B2 = straus_window_sums(g2, w_keys[:, :m + 1],
+                                   jnp.asarray(B2_t))
+        leave_block("MSMs (device: Straus tables + Pippenger A/H)")
 
-    n2 = m + 1
-    n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
-    b2_rows = jnp.asarray(pad_rows(params.B2[:n2], n2_pad))
-    b2_keys = _pad_keys(w_keys[:, :n2], n2_pad)
-    ws_B2 = msm_window_sums(g2, b2_keys, b2_rows, chunk_s, c)
-    leave_block("MSMs (device Pippenger)")
+        enter_block("readback + host assembly")
+        g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
+        At = finalize_msm(hg1, g1_pts[0], c)
+        Ht = finalize_msm(hg1, g1_pts[1], c)
+        Bt1 = finalize_msm(
+            hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
+        Lt = finalize_msm(
+            hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
+        Bt2 = finalize_msm(
+            hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
+    else:
+        enter_block("MSMs (device Pippenger)")
+        # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1,
+        # B2, L on three CUDA streams and A, H on the CPU — here the four
+        # G1 MSMs share a single sort/scan/reduce pass,
+        # cuda_prover_piecewise.cu:162-179)
+        g1_rows_np = np.concatenate([
+            params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
+            params.H[:d]])
+        n_tot = g1_rows_np.shape[0]
+        n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
+        g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
+        g1_keys = jnp.concatenate([
+            w_keys[:, :m + 1], w_keys[:, :m + 1],
+            w_keys[:, pi1:pi1 + nL], h_std[:, :d],
+            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
+        seg_np = np.concatenate([
+            np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
+            np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
+        ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
+                                jnp.asarray(seg_np), 4)
 
-    enter_block("readback + host assembly")
-    g1_pts = window_sums_to_host(g1, ws_g1, hg1, p, num_msms=4)
-    At = finalize_msm(hg1, g1_pts[0], c)
-    Bt1 = finalize_msm(hg1, g1_pts[1], c)
-    Lt = finalize_msm(hg1, g1_pts[2], c)
-    Ht = finalize_msm(hg1, g1_pts[3], c)
-    Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, hg2, p), c)
+        n2 = m + 1
+        n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
+        b2_rows = jnp.asarray(pad_rows(params.B2[:n2], n2_pad))
+        b2_keys = _pad_keys(w_keys[:, :n2], n2_pad)
+        ws_B2 = msm_window_sums(g2, b2_keys, b2_rows, chunk_s, c)
+        leave_block("MSMs (device Pippenger)")
+
+        enter_block("readback + host assembly")
+        g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=4)
+        At = finalize_msm(hg1, g1_pts[0], c)
+        Bt1 = finalize_msm(hg1, g1_pts[1], c)
+        Lt = finalize_msm(hg1, g1_pts[2], c)
+        Ht = finalize_msm(hg1, g1_pts[3], c)
+        Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, p), c)
 
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))
@@ -254,11 +326,23 @@ def prove_files(curve: CurveParams, params_path: str, input_path: str,
     t0 = time.time()
     params = load_params(params_path, curve)
     print(f"load params: {time.time() - t0:.3f}s", flush=True)
+    # the reference unconditionally loads `<CURVE>_preprocessed` from the
+    # working directory (cuda_prover_piecewise.cu:244-247); here the
+    # tables are optional — Pippenger needs none — but are consumed the
+    # same way when present (SURVEY §7.1)
+    tables = None
+    pre_path = os.environ.get("GROTH16_PREPROCESSED_PATH",
+                              f"{curve.name}_preprocessed")
+    if os.path.isfile(pre_path):
+        t1 = time.time()
+        tables = load_preprocessed(pre_path, curve, params.m,
+                                   params.L.shape[0])
+        print(f"load preprocessing: {time.time() - t1:.3f}s", flush=True)
     t1 = time.time()
     inputs = load_input(input_path, curve, params.d, params.m)
     print(f"load inputs: {time.time() - t1:.3f}s", flush=True)
     t2 = time.time()
-    proof = prove(curve, params, inputs, chunk_s)
+    proof = prove(curve, params, inputs, chunk_s, tables=tables)
     print(f"prove (tpu e2e): {time.time() - t2:.3f}s", flush=True)
     t3 = time.time()
     ser.write_output(output_path, curve, *proof)

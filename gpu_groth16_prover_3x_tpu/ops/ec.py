@@ -41,6 +41,7 @@ from functools import lru_cache
 from typing import Any, Tuple
 
 from ..curves.constants import CurveParams
+from ..utils import opcount
 from .field import ExtOps, Fel, FpOps, fq_ops, fqe_ops
 
 Point = Tuple[Any, Any, Any]  # (X, Y, Z), each an Fel (G1) or Fel-tuple (G2)
@@ -59,6 +60,16 @@ STEADY_LB = 1 << 20
 def get_curve_ops(curve: CurveParams, group: str = "g1") -> "CurveOps":
     """Cached per (curve, group) so jitted callers share trace caches."""
     return CurveOps(curve, group)
+
+
+def _count_ec(kind: str, coord) -> None:
+    """Trace-time EC group-op tally (see utils/opcount)."""
+    if opcount.enabled():
+        batch = coord.batch if isinstance(coord, Fel) else coord[0].batch
+        lanes = 1
+        for d in batch:
+            lanes *= int(d)
+        opcount.add(kind, lanes)
 
 
 class CurveOps:
@@ -123,6 +134,7 @@ class CurveOps:
         am = self._a_mul
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
+        _count_ec("ec_add", X1)
         # layer 1: the six symmetric products
         m1, m2, m3, m4, m5, m6 = F.mul_batch([
             (X1, X2), (Y1, Y2), (Z1, Z2),
@@ -158,6 +170,7 @@ class CurveOps:
         F = self.F
         am = self._a_mul
         X1, Y1, Z1 = P
+        _count_ec("ec_mixed_add", X1)
         m1, m2, m3, m4, m5, m6 = F.mul_batch([
             (X1, x2), (Y1, y2),
             (F.add(X1, Y1), F.add(x2, y2)),
@@ -187,6 +200,7 @@ class CurveOps:
         F = self.F
         am = self._a_mul
         X, Y, Z = P
+        _count_ec("ec_dbl", X)
         m1, m2, m3, m4, m5, m6 = F.mul_batch([
             (X, X), (Y, Y), (Z, Z), (X, Y), (X, Z), (Y, Z),
         ])

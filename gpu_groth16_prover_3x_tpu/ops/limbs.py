@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import opcount
+
 LIMB_BITS = 16
 NUM_LIMBS = 48          # 48 * 16 = 768 bits
 MASK = jnp.uint32(0xFFFF)
@@ -73,7 +75,7 @@ def lazy_pass(t):
     return (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
 
 
-def canon(t, drop_top: bool = False):
+def canon(t):
     """Exact canonicalization: lazy limbs (< 2^32) -> exact 16-bit limbs.
 
     One local pass brings limbs under 2^17, then a Kogge-Stone
@@ -81,9 +83,9 @@ def canon(t, drop_top: bool = False):
     remaining 0/1 carry ripple exactly — the TPU analog of
     fixnum.cu:185-197's ballot trick, with no cross-lane traffic at all.
 
-    If ``drop_top`` the carry out of the top limb is discarded (arithmetic
-    mod 2^(16*n), used by complement-based subtraction); otherwise the
-    caller guarantees the value fits.
+    The carry out of the top limb is ALWAYS discarded (arithmetic mod
+    2^(16*n)): complement-based subtraction relies on the truncation;
+    every other caller guarantees the value fits its buffer.
     """
     v = lazy_pass(t)               # limbs < 2^17
     lo = v & MASK
@@ -246,15 +248,20 @@ def mont_mul(ctx: MontCtx, a, b):
     """Montgomery product dispatch: Pallas kernel on TPU, XLA scan
     elsewhere (ops/pallas_kernels.py holds the VMEM-resident version).
 
-    On the CPU backend the scan goes behind a non-inline jit call
-    boundary: XLA:CPU's loop-optimization passes re-run over every
-    *inlined* CIOS scan instance and its consumers (measured ~6s of
-    compile per NTT butterfly stage, >500s for a tiny distributed H
-    pipeline); as a call, one compilation is shared by every same-shape
-    call site (~4.5x faster cold compile for composed graphs).  TPU
-    keeps the inline path so XLA can fuse across the multiply.
+    CPU backend: the inline scan form compiles ~0.03s per call site on
+    XLA:CPU vs ~1s for the unrolled non-inline variant (CallInliner
+    re-inlines the call, so the jit boundary dedupes nothing), so scan
+    is the default; GROTH16_CPU_UNROLL_MULT opts small few-site graphs
+    (the multichip dryrun) into the unrolled form where thunk dispatch
+    dominates runtime.  The truly compile-pathological CPU graphs (NTT
+    cascades) use the hostcall path instead (see _hostcall_mult).
     """
     from . import pallas_kernels as PK
+    if opcount.enabled():
+        lanes = 1
+        for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
+            lanes *= int(d)
+        opcount.add("fp_mont_mul", lanes)
     if PK.pallas_available():
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
@@ -266,8 +273,60 @@ def mont_mul(ctx: MontCtx, a, b):
         b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
         if _hostcall_mult():
             return _mont_mul_hostcall(ctx, a, b)
-        return _mont_mul_xla_call(ctx, a, b)
+        import os
+        if os.environ.get("GROTH16_CPU_UNROLL_MULT"):
+            # measured ~1s of XLA:CPU compile PER CALL SITE (the jit
+            # boundary does NOT dedupe — CallInliner re-inlines), so
+            # this pays off only for small few-site graphs where thunk
+            # dispatch dominates runtime (the multichip dryrun's MSM
+            # phases); large compositions (a full G2 MSM kernel) blow
+            # past 30 min / 10 GB of compile with it.
+            return _mont_mul_xla_call(ctx, a, b)
+        return _mont_mul_xla_dyn(ctx, a, b)
     return _mont_mul_xla(ctx, a, b)
+
+
+@partial(jax.jit, static_argnums=(0,), inline=True)
+def _mont_mul_xla_dyn(ctx: MontCtx, a, b):
+    """CIOS with an OPAQUE trip count for the CPU backend.
+
+    XLA:CPU's while-loop unroller sees lax.scan's constant 48-iteration
+    bound and fully unrolls every CIOS instance; in a composed kernel
+    (an MSM with ~40 multiply sites on 10^5-lane tensors) that explodes
+    the optimized module to ~750k lines / >10 GB of compiler RSS and
+    >30 min of compile (observed on the MNT6753 G2 kernel).  Deriving
+    the bound from an operand (48 + a[0,0]*0) makes the trip count
+    unprovable, so the loop survives optimization intact.  Compute is
+    identical to _mont_mul_xla's scan step.
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
+    b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
+    bpad = jnp.concatenate([b, jnp.zeros((2,) + batch, U32)], axis=0)
+    p50 = jnp.asarray(ctx.p_limbs50).reshape((50,) + (1,) * len(batch))
+    ninv = jnp.uint32(ctx.ninv16)
+    # opaque loop bound: value is always NUM_LIMBS, provenance is data.
+    # a*0 would be constant-folded by XLA's simplifier; a00 >> 31 is
+    # unfoldable without range analysis, and every limb representation
+    # in this module is < 2^17 (lazy) or < 2^16 (canonical), so bit 31
+    # is always clear and the bound is exactly NUM_LIMBS.
+    nlimb = jnp.uint32(NUM_LIMBS) + (a[(0,) * a.ndim] >> jnp.uint32(31))
+
+    def body(st):
+        i, t = st
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)
+        t = t + ai * bpad
+        t = lazy_pass(t)
+        m = (t[:1] * ninv) & MASK
+        t = t + m * p50
+        t = lazy_pass(t)
+        t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
+        return i + jnp.uint32(1), t
+
+    t0 = bpad * jnp.uint32(0) + a[0:1] * jnp.uint32(0)
+    _, t = jax.lax.while_loop(lambda st: st[0] < nlimb, body,
+                              (jnp.uint32(0), t0))
+    return canon(t)[:NUM_LIMBS]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -345,13 +404,13 @@ def sub(ctx: MontCtx, a, b, k_b: int):
     """a - b + k_b*p (so the result is nonnegative when b < k_b*p).
 
     Complement trick: a + (~b) + 1 + k_b*p computed mod 2^768 — the
-    guaranteed 2^768 overflow is dropped by canon(drop_top=True).
+    guaranteed 2^768 overflow is dropped by canon's mod-2^768 truncation.
     """
     kp = jnp.asarray(ctx.kp_limbs(k_b)).reshape(
         (NUM_LIMBS,) + (1,) * (a.ndim - 1))
     s = a + (MASK - b) + kp
     s = s.at[0].add(1)
-    return canon(s, drop_top=True)
+    return canon(s)
 
 
 def small_mul(a, c: int):

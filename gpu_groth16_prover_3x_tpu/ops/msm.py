@@ -45,7 +45,7 @@ All stored tables (points, emissions, buckets) are uint16 limb arrays
 traffic; compute widens to uint32 on the fly.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -130,40 +130,24 @@ def _tree_select(mask, a_list, b_list):
     return tuple(jnp.where(mask, a, b) for a, b in zip(a_list, b_list))
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
-def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
-                    chunk_s: int = DEFAULT_CHUNK, c: int = DEFAULT_C,
-                    seg_ids=None, num_msms: int = 1,
-                    num_windows: int = None):
-    """Window sums of `num_msms` independent fused MSMs over one group.
+def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
+                         num_msms: int, num_windows):
+    """Build the (scan_phase, reduce_phase) kernel pair for one config.
 
-    scalar_limbs: (48, n) uint32 — standard-domain 16-bit digit limbs
-    points_rows:  (n, 2*deg*48) uint16 — Montgomery affine rows
-    c: window bits (16: digits ARE the limbs; 8: limb bytes — used at
-       small n where the 2^16-bucket reduction would dominate)
-    seg_ids: (n,) int32 MSM index per point (None = all zero).  Fusing
-       several same-group MSMs (the prover's A/B1/L/H share G1) widens
-       every batched stage and runs the sort/scan/scatter machinery once —
-       the TPU counterpart of the reference launching B1/B2/L on separate
-       CUDA streams (cuda_prover_piecewise.cu:162-167), except fused into
-       one kernel instead of three.  The MSM index rides the top bits of
-       the bucket key, so runs never merge across MSMs and the weighted
-       reduction simply stops at `num_msms` block sums.
-
-    Returns a tuple of 3*deg arrays of shape (768//c, 48, num_msms).
+    The pair is composed two ways: fused into one XLA module on TPU
+    (cross-phase fusion, one dispatch — `_msm_window_sums_fused`), or as
+    two separately-jitted modules on the CPU backend, where XLA:CPU's
+    whole-module optimization cost is superlinear and one fused deg-3
+    module blows past 10 GB of compiler RSS (`msm_window_sums` picks).
     """
     assert c in (4, 8, 16)
     NB = 1 << c
     F = cops.F
     deg = F.deg
     ncoef = 2 * deg
-    n = points_rows.shape[0]
     S = chunk_s
     assert n % S == 0
     C = n // S
-    if seg_ids is None:
-        seg_ids = jnp.zeros((n,), jnp.int32)
-    seg_shift = seg_ids.astype(jnp.int32) * NB
 
     ident_row_np = _identity_row(cops)
     NT = num_msms * NB
@@ -186,7 +170,7 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         Z = F.select(inf, zero, one)
         return (X, Y, Z), (x, y, inf)
 
-    def group_msm(keys_grp):
+    def group_msm(keys_grp, points_rows):
         """(wb, n) global bucket keys -> (wb*NT, F3) u16 bucket tables.
 
         A whole block of windows runs through ONE sort/scan/stitch/
@@ -468,7 +452,8 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             jnp.moveaxis(a.reshape(L.NUM_LIMBS, Wn, num_msms), 1, 0)
             for a in cops.to_arrays(cops.normalize_k(W)))
 
-    def all_windows(scalar_limbs):
+    def scan_phase(scalar_limbs, points_rows, seg_shift):
+        """(48, n) digit limbs + point rows -> (nwin, NT, F3) bucket tables."""
         limbs = scalar_limbs.astype(jnp.int32)                # (48, n)
         if c == 16:
             keys_all = limbs
@@ -500,18 +485,14 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
 
         # scan blocking: 1 on real hardware (the scan is already lane-
         # saturated at production sizes; blocking multiplies the gather/
-        # transpose footprint and measured 5x SLOWER at 2^18).  Reduce
-        # blocking widens the (window,msm) sublane axis of the bucket
-        # reduction.  GROTH16_WB_SCAN / GROTH16_WB_RED override.
+        # transpose footprint and measured 5x SLOWER at 2^18).
+        # GROTH16_WB_SCAN overrides.  In hostcall-mult mode (callback
+        # dryrun) invocation count IS the runtime, so every window goes
+        # through one batched pass.
         import os
         wb_scan = fit_block(int(os.environ.get("GROTH16_WB_SCAN", 0)) or 1)
-        wb_red = fit_block(
-            int(os.environ.get("GROTH16_WB_RED", 0)) or
-            max(REDUCE_GROUP_LANES // NT, 8 // num_msms))
         if L._hostcall_mult():
-            # callback-mode dryrun: invocation count is the runtime, so
-            # push every window through one batched pass
-            wb_scan = wb_red = nwin_t
+            wb_scan = nwin_t
 
         # per-window keys with global (window, msm) bucket offsets; the
         # sort is per-window (axis -1), so constant offsets are inert
@@ -519,24 +500,42 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
 
         def scan_body(carry, kg_and_off):
             kg, w_off = kg_and_off
-            return carry, group_msm(kg + w_off[:, None])
+            return carry, group_msm(kg + w_off[:, None], points_rows)
 
         offs = (jnp.arange(nwin_t, dtype=jnp.int32) % wb_scan) * NT
         if wb_scan == nwin_t:
-            bt = group_msm(keys_off + offs[:, None])
+            bt = group_msm(keys_off + offs[:, None], points_rows)
         else:
             grp_keys = keys_off.reshape(nwin_t // wb_scan, wb_scan, -1)
             grp_offs = offs.reshape(nwin_t // wb_scan, wb_scan)
             _, bts = jax.lax.scan(scan_body, 0, (grp_keys, grp_offs))
             bt = bts.reshape(nwin_t * NT, -1)
-        bt = bt.reshape(nwin_t, NT, -1)
+        return bt.reshape(nwin_t, NT, -1)
 
-        if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
-            # profiling knob: time the bucket-scan phase alone (the
-            # checksum keeps the scan from being dead-code-eliminated)
-            s = bt.astype(jnp.uint32).sum()
-            z = jnp.zeros((nwin_t, L.NUM_LIMBS, num_msms), jnp.uint32) + s
-            return tuple(z for _ in range(3 * deg))
+    def reduce_phase(bt):
+        """(nwin, NT, F3) bucket tables -> per-coord window sums."""
+        import os
+        nwin_t = bt.shape[0]
+
+        def fit_block(target):
+            wb = min(nwin_t, max(1, target))
+            while nwin_t % wb:
+                wb -= 1
+            return wb
+
+        if L._cpu_backend() and not L._hostcall_mult():
+            # XLA:CPU-only compile guard: keep the reduction group small
+            # enough that NO wide level is python-unrolled (m*G stays
+            # under REDUCE_FORI_WIDTH, so the whole reduction is the
+            # single-trace fori tail) — each unrolled level re-traces
+            # ~12 stacked multiplies and XLA:CPU optimization blows up.
+            default_red = max(1, REDUCE_FORI_WIDTH // NT)
+        else:
+            default_red = max(REDUCE_GROUP_LANES // NT, 8 // num_msms)
+        wb_red = fit_block(
+            int(os.environ.get("GROTH16_WB_RED", 0)) or default_red)
+        if L._hostcall_mult():
+            wb_red = nwin_t
 
         def red_body(_, btg):
             return 0, reduce_group(btg)
@@ -547,13 +546,99 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
                              bt.reshape(nwin_t // wb_red, wb_red, NT, -1))
         return tuple(a.reshape((nwin_t,) + a.shape[2:]) for a in Ws)
 
-    return all_windows(scalar_limbs)
+    return scan_phase, reduce_phase
+
+
+def _reduce_checksum(bt, num_msms: int, deg: int):
+    """GROTH16_MSM_SKIP_REDUCE profiling knob: time the bucket-scan phase
+    alone (the checksum keeps the scan from being dead-code-eliminated)."""
+    s = bt.astype(jnp.uint32).sum()
+    z = jnp.zeros((bt.shape[0], L.NUM_LIMBS, num_msms), jnp.uint32) + s
+    return tuple(z for _ in range(3 * deg))
+
+
+def _trace_state_clean() -> bool:
+    try:
+        return jax.core.trace_state_clean()
+    except Exception:
+        return True
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
+def _msm_window_sums_fused(cops: CurveOps, scalar_limbs, points_rows,
+                           chunk_s: int, c: int, seg_ids, num_msms: int,
+                           num_windows):
+    """Scan + reduce phases fused into ONE XLA module (TPU path)."""
+    import os
+    n = points_rows.shape[0]
+    scan_phase, reduce_phase = _window_kernel_parts(
+        cops, int(n), chunk_s, c, num_msms, num_windows)
+    if seg_ids is None:
+        seg_ids = jnp.zeros((n,), jnp.int32)
+    seg_shift = seg_ids.astype(jnp.int32) * jnp.int32(1 << c)
+    bt = scan_phase(scalar_limbs, points_rows, seg_shift)
+    if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
+        return _reduce_checksum(bt, num_msms, cops.F.deg)
+    return reduce_phase(bt)
+
+
+@lru_cache(maxsize=None)
+def _cpu_phase_jits(cops: CurveOps, n: int, chunk_s: int, c: int,
+                    num_msms: int, num_windows):
+    scan_phase, reduce_phase = _window_kernel_parts(
+        cops, n, chunk_s, c, num_msms, num_windows)
+    return jax.jit(scan_phase), jax.jit(reduce_phase)
+
+
+def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
+                    chunk_s: int = DEFAULT_CHUNK, c: int = DEFAULT_C,
+                    seg_ids=None, num_msms: int = 1,
+                    num_windows: int = None):
+    """Window sums of `num_msms` independent fused MSMs over one group.
+
+    scalar_limbs: (48, n) uint32 — standard-domain 16-bit digit limbs
+    points_rows:  (n, 2*deg*48) uint16 — Montgomery affine rows
+    c: window bits (16: digits ARE the limbs; 8: limb bytes — used at
+       small n where the 2^16-bucket reduction would dominate)
+    seg_ids: (n,) int32 MSM index per point (None = all zero).  Fusing
+       several same-group MSMs (the prover's A/B1/L/H share G1) widens
+       every batched stage and runs the sort/scan/scatter machinery once —
+       the TPU counterpart of the reference launching B1/B2/L on separate
+       CUDA streams (cuda_prover_piecewise.cu:162-167), except fused into
+       one kernel instead of three.  The MSM index rides the top bits of
+       the bucket key, so runs never merge across MSMs and the weighted
+       reduction simply stops at `num_msms` block sums.
+
+    Returns a tuple of 3*deg arrays of shape (768//c, 48, num_msms).
+
+    On TPU (and whenever already inside a trace) the scan and reduce
+    phases compile fused; at the top level of the CPU backend they
+    compile as two separate XLA modules — XLA:CPU's whole-module
+    optimization cost is superlinear and a fused deg-3 module exceeded
+    10 GB of compiler RSS / 30 min (tests segfaulted in LLVM).
+    """
+    import os
+    if (L._cpu_backend() and not L._hostcall_mult()
+            and _trace_state_clean()):
+        n = int(points_rows.shape[0])
+        scan_jit, reduce_jit = _cpu_phase_jits(
+            cops, n, chunk_s, c, num_msms, num_windows)
+        if seg_ids is None:
+            seg_ids = jnp.zeros((n,), jnp.int32)
+        seg_shift = jnp.asarray(seg_ids).astype(jnp.int32) \
+            * jnp.int32(1 << c)
+        bt = scan_jit(scalar_limbs, points_rows, seg_shift)
+        if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
+            return _reduce_checksum(bt, num_msms, cops.F.deg)
+        return reduce_jit(bt)
+    return _msm_window_sums_fused(cops, scalar_limbs, points_rows,
+                                  chunk_s, c, seg_ids, num_msms,
+                                  num_windows)
 
 
 # -- host finalization ----------------------------------------------------------
 
-def window_sums_to_host(cops: CurveOps, ws, host_group, p: int,
-                        num_msms: int = 1):
+def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
     """Stacked device window sums (nwin, 48, num_msms) -> per-MSM lists of
     host projective points: out[msm][window]."""
     from ..curves.constants import R
@@ -621,7 +706,7 @@ def finalize_msm(host_group, window_pts, cbits: int = None,
 
     nwin = len(window_pts)
     if cbits is None:
-        assert nwin in (48, 96), (
+        assert nwin in (48, 96, 192), (
             f"cannot infer window width from {nwin} windows; pass cbits "
             f"(partial num_windows runs yield partial sums)")
         cbits = 768 // nwin
@@ -646,5 +731,5 @@ def msm_device(cops: CurveOps, host_group, scalars: Sequence[int],
     limbs = scalars_to_limbs(scalars, n_pad)
     ws = msm_window_sums(cops, jnp.asarray(limbs), jnp.asarray(rows),
                          chunk_s, c)
-    pts = window_sums_to_host(cops, ws, host_group, p)
-    return finalize_msm(host_group, pts)
+    pts = window_sums_to_host(cops, ws, p)
+    return finalize_msm(host_group, pts, c)

@@ -212,7 +212,7 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
 
     def finalize(cops_grp, hg, ws, num_msms):
         """Combined window sums -> per-MSM group elements."""
-        pts = window_sums_to_host(cops_grp, ws, hg, p, num_msms)
+        pts = window_sums_to_host(cops_grp, ws, p, num_msms)
         pts = pts if num_msms > 1 else [pts]
         return [finalize_msm(hg, pl, c, num_windows) for pl in pts]
 

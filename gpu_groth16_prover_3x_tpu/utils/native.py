@@ -49,6 +49,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64]
         lib.g16_mul_pairwise.argtypes = [
             _U64P, _U64P, _U64P, ctypes.c_longlong, _U64P, ctypes.c_uint64]
+        lib.g16_msm.argtypes = [
+            _U64P, _U64P, _U64P, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, _U64P, ctypes.c_uint64, _U64P, _U64P]
+        lib.g16_fixed_base_batch.argtypes = [
+            _U64P, _U64P, _U64P, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, _U64P, ctypes.c_uint64, _U64P, _U64P]
+        lib.g16_fft.argtypes = [
+            _U64P, ctypes.c_longlong, _U64P, _U64P, _U64P, ctypes.c_uint64]
+        lib.g16_vec_sub.argtypes = [
+            _U64P, _U64P, _U64P, ctypes.c_longlong, _U64P]
+        lib.g16_coset_scale.argtypes = [
+            _U64P, ctypes.c_longlong, _U64P, _U64P, ctypes.c_uint64]
         return lib
     except Exception:
         return None
@@ -112,6 +124,108 @@ def mont_decode(mont: np.ndarray, p: int) -> np.ndarray:
     one = np.zeros((1, NL), dtype="<u8")
     one[0, 0] = 1
     return mont_mul_batch(mont, one, p)
+
+
+def _ints_to_limbs(vals) -> np.ndarray:
+    """List of ints (< 2^768) -> (n, 12) little-endian u64 rows."""
+    buf = b"".join(int(v).to_bytes(96, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u8").reshape(len(vals), NL).copy()
+
+
+def _limbs_to_ints(arr: np.ndarray) -> list:
+    raw = np.ascontiguousarray(arr, dtype="<u8").tobytes()
+    return [int.from_bytes(raw[i * 96:(i + 1) * 96], "little")
+            for i in range(len(raw) // 96)]
+
+
+def _flatten_coords(points, deg: int) -> list:
+    """Jacobian points (X,Y,Z) with int (deg=1) or deg-tuple coords ->
+    flat int list, 3*deg ints per point."""
+    flat = []
+    if deg == 1:
+        for x, y, z in points:
+            flat += [x, y, z]
+    else:
+        for x, y, z in points:
+            flat += list(x) + list(y) + list(z)
+    return flat
+
+
+def _ec_consts(p: int, deg: int, alpha: int, a_coef) -> Tuple:
+    """Montgomery-encoded (alpha, a) rows + field constants."""
+    plimbs, inv, r, _ = _field_consts(p)
+    alpha_m = _ints_to_limbs([(alpha % p) * r % p])
+    a_list = [a_coef] if deg == 1 else list(a_coef)
+    a_m = _ints_to_limbs([(int(c) % p) * r % p for c in a_list])
+    return plimbs, inv, alpha_m, a_m
+
+
+def msm_jacobian(p: int, deg: int, alpha: int, a_coef, points, scalars,
+                 c: int):
+    """Native Pippenger MSM over standard-domain int Jacobian points.
+
+    Returns a Jacobian point in the same int representation; None when the
+    native library is unavailable (callers fall back to Python).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    plimbs, inv, alpha_m, a_m = _ec_consts(p, deg, alpha, a_coef)
+    n = len(points)
+    pts_std = _ints_to_limbs([v % p for v in _flatten_coords(points, deg)])
+    pts = mont_encode(pts_std, p)
+    sc = _ints_to_limbs([int(s) for s in scalars])
+    out = np.empty((3 * deg, NL), dtype="<u8")
+    lib.g16_msm(_ptr(out), _ptr(pts), _ptr(sc), n, c, deg, _ptr(plimbs),
+                inv, _ptr(alpha_m), _ptr(a_m))
+    coords = _limbs_to_ints(mont_decode(out, p))
+    if deg == 1:
+        return (coords[0], coords[1], coords[2])
+    return (tuple(coords[0:deg]), tuple(coords[deg:2 * deg]),
+            tuple(coords[2 * deg:3 * deg]))
+
+
+def fixed_base_batch(p: int, deg: int, alpha: int, a_coef, base, scalars,
+                     window: int):
+    """Native fixed-base windowed exponentiation: [s * base for s in
+    scalars] as Jacobian int points (standard domain), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    plimbs, inv, alpha_m, a_m = _ec_consts(p, deg, alpha, a_coef)
+    n = len(scalars)
+    base_std = _ints_to_limbs([v % p for v in _flatten_coords([base], deg)])
+    base_m = mont_encode(base_std, p)
+    sc = _ints_to_limbs([int(s) for s in scalars])
+    out = np.empty((n * 3 * deg, NL), dtype="<u8")
+    lib.g16_fixed_base_batch(_ptr(out), _ptr(base_m), _ptr(sc), n, window,
+                             deg, _ptr(plimbs), inv, _ptr(alpha_m),
+                             _ptr(a_m))
+    coords = _limbs_to_ints(mont_decode(out, p))
+    pts = []
+    for i in range(n):
+        c0 = coords[i * 3 * deg:(i + 1) * 3 * deg]
+        if deg == 1:
+            pts.append((c0[0], c0[1], c0[2]))
+        else:
+            pts.append((tuple(c0[0:deg]), tuple(c0[deg:2 * deg]),
+                        tuple(c0[2 * deg:3 * deg])))
+    return pts
+
+
+def fft_ints(a, omega: int, p: int):
+    """Native in-place radix-2 NTT over standard-domain ints (list in,
+    list out); None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    plimbs, inv, r, _ = _field_consts(p)
+    arr = mont_encode(_ints_to_limbs([x % p for x in a]), p)
+    omega_m = _ints_to_limbs([omega % p * r % p])
+    one_m = _ints_to_limbs([r])
+    lib.g16_fft(_ptr(arr), len(a), _ptr(omega_m), _ptr(one_m),
+                _ptr(plimbs), inv)
+    return _limbs_to_ints(mont_decode(arr, p))
 
 
 def batch_affine(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray,

@@ -40,3 +40,8 @@ import pytest
 @pytest.fixture
 def rng():
     return random.Random(0xC0DA)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-compile tests")

@@ -33,16 +33,19 @@ def fixtures(curve, group, rng, n):
     return dev, hg, scalars, pts_j, pts
 
 
-@pytest.mark.parametrize("curve,group,n,chunk", [
-    (MNT4753, "g1", 64, 16),
-    (MNT4753, "g1", 50, 16),        # padding path
-    (MNT4753, "g2", 32, 8),
-    (MNT6753, "g2", 32, 8),
+@pytest.mark.parametrize("curve,group,n,chunk,c", [
+    (MNT4753, "g1", 64, 16, 8),
+    (MNT4753, "g1", 50, 16, 8),     # padding path
+    (MNT4753, "g2", 32, 8, 8),
+    # deg-3 towers use nibble windows on the CPU backend: the 2^8-bucket
+    # deg-3 reduction costs ~13 min of XLA:CPU compile+run (the c=8 path
+    # is exercised on real TPU hardware by the e2e CLI gates)
+    (MNT6753, "g2", 32, 8, 4),
 ])
-def test_msm_vs_oracle(curve, group, n, chunk, rng):
+def test_msm_vs_oracle(curve, group, n, chunk, c, rng):
     dev, hg, scalars, pts_j, pts = fixtures(curve, group, rng, n)
     want = host_msm.msm(hg, scalars, pts_j)
-    got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=chunk, c=8)
+    got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=chunk, c=c)
     assert hg.equal(got, want)
 
 
@@ -66,7 +69,7 @@ def test_msm_fused_multi(rng):
     seg = np.concatenate([np.zeros(24), np.ones(40)]).astype(np.int32)
     ws = msm_window_sums(dev, jnp.asarray(keys), jnp.asarray(rows), 16, 8,
                          jnp.asarray(seg), 2)
-    pts_by_msm = window_sums_to_host(dev, ws, hg, curve.fq.p, num_msms=2)
+    pts_by_msm = window_sums_to_host(dev, ws, curve.fq.p, num_msms=2)
     got1 = finalize_msm(hg, pts_by_msm[0])
     got2 = finalize_msm(hg, pts_by_msm[1])
     assert hg.equal(got1, host_msm.msm(hg, s1, pj1))

@@ -67,6 +67,6 @@ def test_sharded_msm_matches_oracle(mesh, rng):
     keys = jnp.asarray(scalars_to_limbs(scalars))
     ws = sharded_msm_window_sums(dev, mesh, keys, rows, chunk_s=4, c=8)
     got = finalize_msm(
-        hg, window_sums_to_host(dev, ws, hg, curve.fq.p))
+        hg, window_sums_to_host(dev, ws, curve.fq.p))
     want = host_msm.msm(hg, scalars, pts_j)
     assert hg.equal(got, want)

@@ -1,0 +1,50 @@
+"""Two-PROCESS jax.distributed execution (parallel/multihost.py): the
+same four-step distributed NTT as test_multichip, but with the mesh
+spanning two OS processes of 2 virtual devices each — collectives cross
+the process boundary through the jax.distributed coordination service.
+The reference has no analog (single-host CUDA); this is the multi-host
+leg of the BASELINE.md 2^24 target."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ntt():
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)            # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" +
+                    "\n".join(o or "" for o in outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "MULTIHOST_OK" in out
