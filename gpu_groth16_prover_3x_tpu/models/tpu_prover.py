@@ -35,7 +35,8 @@ from ..host import ec as host_ec
 from ..ops import limbs as L
 from ..ops.field import Fel
 from ..ops.msm import (DEFAULT_CHUNK, finalize_msm, msm_window_sums,
-                       pad_rows, window_sums_to_host)
+                       msm_window_sums_streamed, pad_rows,
+                       window_sums_to_host)
 from ..ops.ntt import compute_h_device, get_plan
 from ..utils import serialization as ser
 from ..utils.profiling import enter_block, leave_block
@@ -278,22 +279,33 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             params.H[:d]])
         n_tot = g1_rows_np.shape[0]
         n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
-        g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
-        g1_keys = jnp.concatenate([
-            w_keys[:, :m + 1], w_keys[:, :m + 1],
-            w_keys[:, pi1:pi1 + nL], h_std[:, :d],
-            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
+        g1_keys_np = np.concatenate([
+            np.asarray(w_keys[:, :m + 1]), np.asarray(w_keys[:, :m + 1]),
+            np.asarray(w_keys[:, pi1:pi1 + nL]), np.asarray(h_std[:, :d]),
+            np.zeros((L.NUM_LIMBS, n_pad - n_tot), np.uint32)], axis=1)
         seg_np = np.concatenate([
             np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
             np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
-        ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
-                                jnp.asarray(seg_np), 4)
+        # HBM streaming (SURVEY §7.4.7): past ~2^22 rows the query tables
+        # and the kernel's per-window gathers exceed a single chip's HBM;
+        # bounded point blocks keep residency constant (window sums add
+        # across blocks — MSM linearity).  GROTH16_MSM_BLOCK_POINTS
+        # overrides; 0 disables.
+        blk_env = os.environ.get("GROTH16_MSM_BLOCK_POINTS")
+        if blk_env is not None:
+            block_points = int(blk_env) or None
+        else:
+            block_points = (1 << 21) if n_pad > (1 << 22) else None
+        ws_g1 = msm_window_sums_streamed(
+            g1, g1_keys_np, pad_rows(g1_rows_np, n_pad), chunk_s, c,
+            seg_np, 4, block_points)
 
         n2 = m + 1
         n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
-        b2_rows = jnp.asarray(pad_rows(params.B2[:n2], n2_pad))
-        b2_keys = _pad_keys(w_keys[:, :n2], n2_pad)
-        ws_B2 = msm_window_sums(g2, b2_keys, b2_rows, chunk_s, c)
+        ws_B2 = msm_window_sums_streamed(
+            g2, np.asarray(_pad_keys(w_keys[:, :n2], n2_pad)),
+            pad_rows(params.B2[:n2], n2_pad), chunk_s, c, None, 1,
+            block_points)
         leave_block("MSMs (device Pippenger)")
 
         enter_block("readback + host assembly")

@@ -636,6 +636,65 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
                                   num_windows)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def combine_window_sums(cops: CurveOps, ws_a, ws_b):
+    """Pointwise EC add of two window-sum stacks (same layout).
+
+    MSM linearity over point chunks: a large MSM processed in bounded
+    point blocks (HBM streaming, SURVEY §7.4.7 — the reference's
+    unified-memory analog is multiexp/reduce.cu:198-271) yields the same
+    per-window sums as one pass, by adding the blocks' window sums.
+    Inputs/outputs: tuples of 3*deg arrays shaped (nwin, 48, num_msms).
+    """
+    nwin, _, M = ws_a[0].shape
+
+    def to_pts(ws):
+        arrs = tuple(jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(
+            L.NUM_LIMBS, nwin * M) for a in ws)
+        return cops.from_arrays(tuple(L.canon(a) for a in arrs))
+
+    s = cops.add(to_pts(ws_a), to_pts(ws_b))
+    return tuple(
+        L.canon(a).reshape(L.NUM_LIMBS, nwin, M).transpose(1, 0, 2)
+        for a in cops.to_arrays(cops.normalize_k(s)))
+
+
+def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
+                             chunk_s: int, c: int, seg_ids_np=None,
+                             num_msms: int = 1, block_points: int = None):
+    """msm_window_sums over host-resident points in bounded blocks.
+
+    Keeps device footprint at one block of rows (+ the window sums)
+    regardless of total MSM size: the 2^22+ configs' query tables exceed
+    a single chip's HBM, so the host array is sliced and each block's
+    window sums are combined on device (combine_window_sums).  All
+    blocks share one kernel compilation (equal block shapes; the tail
+    is zero-padded — infinity rows with zero keys are exact no-ops).
+    """
+    n = points_rows_np.shape[0]
+    if block_points is None or block_points >= n:
+        return msm_window_sums(cops, jnp.asarray(scalar_limbs),
+                               jnp.asarray(points_rows_np), chunk_s, c,
+                               None if seg_ids_np is None
+                               else jnp.asarray(seg_ids_np), num_msms)
+    B = ((min(block_points, n) + chunk_s - 1) // chunk_s) * chunk_s
+    scalar_limbs = np.asarray(scalar_limbs)
+    if seg_ids_np is None:
+        seg_ids_np = np.zeros((n,), np.int32)
+    acc = None
+    for lo in range(0, n, B):
+        hi = min(lo + B, n)
+        rows = pad_rows(np.asarray(points_rows_np[lo:hi]), B)
+        keys = np.zeros((L.NUM_LIMBS, B), scalar_limbs.dtype)
+        keys[:, :hi - lo] = scalar_limbs[:, lo:hi]
+        seg = np.zeros((B,), np.int32)
+        seg[:hi - lo] = seg_ids_np[lo:hi]
+        ws = msm_window_sums(cops, jnp.asarray(keys), jnp.asarray(rows),
+                             chunk_s, c, jnp.asarray(seg), num_msms)
+        acc = ws if acc is None else combine_window_sums(cops, acc, ws)
+    return acc
+
+
 # -- host finalization ----------------------------------------------------------
 
 def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):

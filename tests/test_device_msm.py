@@ -90,3 +90,29 @@ def test_msm_uniform_digit_run(rng):
     want = host_msm.msm_naive(hg, scalars, pts_j)
     got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=16, c=8)
     assert hg.equal(got, want)
+
+
+def test_msm_streamed_blocks(rng):
+    """HBM-streaming path: bounded point blocks + device window-sum
+    combine must equal the single-pass result bit-for-bit at the proof
+    level (MSM linearity across blocks)."""
+    import numpy as np
+    from gpu_groth16_prover_3x_tpu.ops.msm import (
+        affine_points_to_rows, finalize_msm, msm_window_sums_streamed,
+        scalars_to_limbs, window_sums_to_host)
+    curve = MNT4753
+    dev = get_curve_ops(curve, "g1")
+    hg = host_ec.g1_group(curve)
+    _, _, scalars, pts_j, pts = fixtures(curve, "g1", rng, 64)
+    rows = affine_points_to_rows(pts, curve.fq.p, 1)
+    keys = scalars_to_limbs(scalars)
+    seg = (np.arange(64) % 2).astype(np.int32)   # two fused MSMs
+    ws = msm_window_sums_streamed(dev, keys, rows, 16, 8, seg, 2,
+                                  block_points=24)  # 3 uneven blocks
+    pts_by_msm = window_sums_to_host(dev, ws, curve.fq.p, num_msms=2)
+    for msm_i in range(2):
+        want = host_msm.msm(
+            hg, [s for s, g in zip(scalars, seg) if g == msm_i],
+            [pt for pt, g in zip(pts_j, seg) if g == msm_i])
+        got = finalize_msm(hg, pts_by_msm[msm_i], 8)
+        assert hg.equal(got, want)
