@@ -29,5 +29,14 @@ try:
                        _os.environ["JAX_COMPILATION_CACHE_DIR"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # Platform pin: site customizations on some hosts programmatically
+    # set jax_platforms at interpreter start (overriding JAX_PLATFORMS),
+    # so the CLI offers its own env knob that wins by running later.
+    # GROTH16_PLATFORM=cpu makes host-only commands (generate_parameters,
+    # the cpu oracle prover) immune to an unreachable accelerator plugin.
+    _plat = _os.environ.get("GROTH16_PLATFORM")
+    if _plat:
+        _jax.config.update("jax_platforms", _plat)
 except Exception:  # pragma: no cover - cache remains best-effort
     pass

@@ -23,7 +23,7 @@ from typing import List, Optional, Tuple
 
 from ..curves.constants import CurveParams
 from . import ec
-from .fft import Radix2Domain
+from .fft import Radix2Domain, get_evaluation_domain
 from .msm import fixed_base_msm, get_exp_window_size, msm
 from .r1cs import R1CS, evaluate_lc, generate_r1cs_example_with_field_input
 
@@ -139,7 +139,11 @@ def setup(curve: CurveParams, log2_d: int,
     delta = rng.randrange(1, r_mod)
     delta_inv = pow(delta, -1, r_mod)
 
-    domain = Radix2Domain(curve.fr, cs.num_constraints + cs.num_inputs + 1)
+    # the selection cascade (get_evaluation_domain.tcc) resolves to the
+    # basic radix-2 domain for every size this pipeline produces (d+1 is
+    # always 2^k, generate_parameters.cpp:35-36)
+    domain = get_evaluation_domain(
+        curve.fr, cs.num_constraints + cs.num_inputs + 1)
     assert domain.m == d_plus_1
     at, bt, ct, zt = qap_instance_evaluation(cs, domain, t)
 
@@ -216,7 +220,7 @@ def compute_h(curve: CurveParams, d: int, ca: List[int], cb: List[int],
     -> subtract -> divide by Z on coset -> icosetFFT.  Returns d+2
     coefficients (domain->m + 1) of which the prover uses the first d.
     """
-    dom = Radix2Domain(curve.fr, d + 1)
+    dom = get_evaluation_domain(curve.fr, d + 1)
     a = dom.coset_fft(dom.ifft(list(ca)))
     b = dom.coset_fft(dom.ifft(list(cb)))
     p = curve.fr.p

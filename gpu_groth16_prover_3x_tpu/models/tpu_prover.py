@@ -39,7 +39,7 @@ from ..ops.msm import (DEFAULT_CHUNK, finalize_msm, msm_window_sums,
                        window_sums_to_host)
 from ..ops.ntt import compute_h_device, get_plan
 from ..utils import serialization as ser
-from ..utils.profiling import enter_block, leave_block
+from ..utils.profiling import enter_block, leave_block, log_device_memory
 
 
 # -- raw-limb parameter/input containers ---------------------------------------
@@ -180,7 +180,7 @@ def _pad_keys(keys, n_pad: int):
 
 def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
           chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
-          c: int = None, tables=None):
+          c: int = None, tables=None, signed: bool = None):
     """Full proof; returns affine (A, B2, C) host tuples.
 
     Call structure mirrors run_prover (cuda_prover_piecewise.cu:96-230);
@@ -213,6 +213,11 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             # keeps bucket tables tiny.  Proofs are c-invariant, so CPU
             # and TPU runs stay byte-identical.
             c = 4
+    if signed is None:
+        # signed digits halve the bucket tables (proof bytes are
+        # invariant); the CPU parity path keeps unsigned to reuse its
+        # long-lived compile-cache entries
+        signed = not L._cpu_backend()
     # keep enough chunks (lanes) busy at small sizes
     chunk_s = min(chunk_s, max(8, (2 * m) // 128))
 
@@ -249,7 +254,7 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             np.full(m + 1, 0), np.full(d, 1),
             np.full(n_pad - n_tot, 1)]).astype(np.int32)
         ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
-                                jnp.asarray(seg_np), 2)
+                                jnp.asarray(seg_np), 2, signed=signed)
         ws_B1 = straus_window_sums(g1, w_keys[:, :m + 1],
                                    jnp.asarray(B1_t))
         ws_L = straus_window_sums(g1, w_keys[:, pi1:pi1 + nL],
@@ -298,14 +303,14 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             block_points = (1 << 21) if n_pad > (1 << 22) else None
         ws_g1 = msm_window_sums_streamed(
             g1, g1_keys_np, pad_rows(g1_rows_np, n_pad), chunk_s, c,
-            seg_np, 4, block_points)
+            seg_np, 4, block_points, signed=signed)
 
         n2 = m + 1
         n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
         ws_B2 = msm_window_sums_streamed(
             g2, np.asarray(_pad_keys(w_keys[:, :n2], n2_pad)),
             pad_rows(params.B2[:n2], n2_pad), chunk_s, c, None, 1,
-            block_points)
+            block_points, signed=signed)
         leave_block("MSMs (device Pippenger)")
 
         enter_block("readback + host assembly")
@@ -356,6 +361,7 @@ def prove_files(curve: CurveParams, params_path: str, input_path: str,
     t2 = time.time()
     proof = prove(curve, params, inputs, chunk_s, tables=tables)
     print(f"prove (tpu e2e): {time.time() - t2:.3f}s", flush=True)
+    log_device_memory("post-prove")
     t3 = time.time()
     ser.write_output(output_path, curve, *proof)
     print(f"store: {time.time() - t3:.3f}s", flush=True)

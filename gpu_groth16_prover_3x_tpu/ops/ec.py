@@ -42,7 +42,7 @@ from typing import Any, Tuple
 
 from ..curves.constants import CurveParams
 from ..utils import opcount
-from .field import ExtOps, Fel, FpOps, fq_ops, fqe_ops
+from .field import BaseScalar, ExtOps, Fel, FpOps, fq_ops, fqe_ops
 
 Point = Tuple[Any, Any, Any]  # (X, Y, Z), each an Fel (G1) or Fel-tuple (G2)
 
@@ -94,8 +94,10 @@ class CurveOps:
             if curve.ext_degree == 2:
                 alpha = curve.non_residue           # 13
                 a26 = curve.a * alpha               # 26
-                self._b3 = self.F.const(
-                    (0, 3 * curve.twist_b[1] % p))
+                # b3 = (0, c): single-coefficient constant -> 2 base muls
+                # per product instead of Karatsuba 3 (field.BaseScalar)
+                self._b3 = BaseScalar(
+                    base.const(3 * curve.twist_b[1] % p), 1)
 
                 def a_mul(t):
                     return tuple(base.reduce(base.small(x, a26), 2)
@@ -103,8 +105,10 @@ class CurveOps:
             else:
                 alpha = curve.non_residue           # 11
                 a11 = curve.a                       # 11
-                self._b3 = self.F.const(
-                    (3 * curve.twist_b[0] % p, 0, 0))
+                # b3 = (c, 0, 0): base-field scalar -> 3 base muls per
+                # product instead of Karatsuba 6 (field.BaseScalar)
+                self._b3 = BaseScalar(
+                    base.const(3 * curve.twist_b[0] % p), 0)
 
                 def a_mul(t):
                     # (0,0,11)*(t0,t1,t2) = (121*t1, 121*t2, 11*t0)

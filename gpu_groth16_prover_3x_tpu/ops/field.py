@@ -223,6 +223,21 @@ class FpOps:
         return Fel(arrs[0], k, lb)
 
 
+@dataclass(frozen=True)
+class BaseScalar:
+    """Extension constant c * X^idx with a single base-field coefficient.
+
+    Multiplying by such a constant needs only `deg` base products
+    (coefficient-wise scaling + a rotate/alpha-fold) instead of the
+    Karatsuba 3 (deg 2) / 6 (deg 3) — the curve constants b3 = 3*b_twist
+    have exactly this shape on both curves (mnt4753: (0, c);
+    mnt6753: (c, 0, 0)), mirroring how the reference specializes its
+    constant multiplications into addition chains (arith.cu:81-216).
+    """
+    c: Fel          # base-field constant (Montgomery)
+    idx: int        # power of X it multiplies
+
+
 class ExtOps:
     """Degree-2/3 extension tower over FpOps: elements are tuples of Fel.
 
@@ -271,11 +286,27 @@ class ExtOps:
     def canon_limbs(self, a):
         return tuple(self.base.canon_limbs(x) for x in a)
 
+    def _scalar_mul_pairs(self, s: BaseScalar, b):
+        """Base pairs for (c * X^idx) * b — one per coefficient."""
+        return [(s.c, b[j]) for j in range(self.deg)]
+
+    def _scalar_mul_assemble(self, s: BaseScalar, rs):
+        F = self.base
+        alpha_fold = lambda x: F.reduce(F.small(x, self.alpha), 4)
+        out = [None] * self.deg
+        for j in range(self.deg):
+            pos = (j + s.idx) % self.deg
+            out[pos] = alpha_fold(rs[j]) if j + s.idx >= self.deg else rs[j]
+        return tuple(out)
+
     def mul(self, a, b):
         # alpha-folded terms are reduced back to k<=2 so extension-mul
         # output bounds stay small enough for the EC formula add chains.
         F = self.base
         alpha_fold = lambda x: F.reduce(F.small(x, self.alpha), 4)
+        if isinstance(a, BaseScalar):
+            rs = F.mul_batch(self._scalar_mul_pairs(a, b))
+            return self._scalar_mul_assemble(a, rs)
         if self.deg == 2:
             a0, a1 = a
             b0, b1 = b
@@ -311,12 +342,17 @@ class ExtOps:
         F = self.base
         alpha_fold = lambda x: F.reduce(F.small(x, self.alpha), 4)
         base_pairs = []
+        counts = []
         for a, b in pairs:
-            if self.deg == 2:
+            if isinstance(a, BaseScalar):
+                base_pairs += self._scalar_mul_pairs(a, b)
+                counts.append(self.deg)
+            elif self.deg == 2:
                 a0, a1 = a
                 b0, b1 = b
                 base_pairs += [(a0, b0), (a1, b1),
                                (F.add(a0, a1), F.add(b0, b1))]
+                counts.append(3)
             else:
                 a0, a1, a2 = a
                 b0, b1, b2 = b
@@ -325,12 +361,16 @@ class ExtOps:
                     (F.add(a0, a1), F.add(b0, b1)),
                     (F.add(a0, a2), F.add(b0, b2)),
                     (F.add(a1, a2), F.add(b1, b2))]
+                counts.append(6)
         rs = F.mul_batch(base_pairs)
         out = []
-        per = 3 if self.deg == 2 else 6
-        for i in range(len(pairs)):
-            r = rs[i * per:(i + 1) * per]
-            if self.deg == 2:
+        off = 0
+        for (a, b), cnt in zip(pairs, counts):
+            r = rs[off:off + cnt]
+            off += cnt
+            if isinstance(a, BaseScalar):
+                out.append(self._scalar_mul_assemble(a, r))
+            elif self.deg == 2:
                 t0, t1, t01 = r
                 c0 = F.add(t0, alpha_fold(t1))
                 c1 = F.sub(t01, F.add(t0, t1))

@@ -131,7 +131,7 @@ def _tree_select(mask, a_list, b_list):
 
 
 def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
-                         num_msms: int, num_windows):
+                         num_msms: int, num_windows, signed: bool = False):
     """Build the (scan_phase, reduce_phase) kernel pair for one config.
 
     The pair is composed two ways: fused into one XLA module on TPU
@@ -139,9 +139,21 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
     two separately-jitted modules on the CPU backend, where XLA:CPU's
     whole-module optimization cost is superlinear and one fused deg-3
     module blows past 10 GB of compiler RSS (`msm_window_sums` picks).
+
+    `signed`: signed window digits in [-2^(c-1), 2^(c-1)-1] (the CPU
+    Pippenger's 2s-helper trick, libff multiexp.tcc's window halving
+    analog): a vectorized borrow ripple recodes the unsigned digits, and
+    negative digits add the NEGATED point (affine y -> p - y) into the
+    |digit| bucket.  Buckets shrink to 2^(c-1) per (window, msm) — half
+    the reduction work and scatter-table memory — with bucket b holding
+    magnitude b+1; the weight shift is free: the halving recursion's W
+    accumulator starts at the buckets themselves instead of zero, which
+    adds exactly sum_b bucket_b to the weighted total.
     """
     assert c in (4, 8, 16)
-    NB = 1 << c
+    assert not (signed and num_windows is not None), (
+        "partial-window (dryrun) runs require unsigned digits: a signed "
+        "low-window partial sum differs from the masked-scalar oracle")
     F = cops.F
     deg = F.deg
     ncoef = 2 * deg
@@ -150,7 +162,11 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
     C = n // S
 
     ident_row_np = _identity_row(cops)
-    NT = num_msms * NB
+    NBH = 1 << (c - 1)
+    NB = NBH if signed else (1 << c)   # buckets per (window, msm)
+    SEG_SPAN = (NBH + 1) if signed else NB  # sort-key span per (window, msm)
+    NT = num_msms * NB                 # bucket-table rows per window
+    NT_sort = num_msms * SEG_SPAN      # sort-key span per window
     F3 = 3 * deg * L.NUM_LIMBS
 
     def unpack_affine(block, batch):
@@ -161,16 +177,21 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         inf = F.is_zero(y)  # (1, *batch)
         return x, y, inf
 
-    def lift(block, batch):
+    def lift(block, batch, sign=None):
         x, y, inf = unpack_affine(block, batch)
         one = F.one(batch)
         zero = F.zero(batch)
+        if sign is not None:
+            # negative digit: add -P = (x, p - y).  Infinity (y == 0)
+            # is unaffected — the inf mask was taken first and selects
+            # the negated-y lane away below / in mixed_add.
+            y = F.select(sign[None], F.sub(zero, y), y)
         X = F.select(inf, zero, x)
         Y = F.select(inf, one, y)
         Z = F.select(inf, zero, one)
         return (X, Y, Z), (x, y, inf)
 
-    def group_msm(keys_grp, points_rows):
+    def group_msm(keys_grp, points_rows, signs_grp=None):
         """(wb, n) global bucket keys -> (wb*NT, F3) u16 bucket tables.
 
         A whole block of windows runs through ONE sort/scan/stitch/
@@ -195,11 +216,18 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
                   .reshape(ncoef * L.NUM_LIMBS, B, S)
         xs_seq = jnp.moveaxis(ptsT, 2, 0)                    # (S, F, B)
         ks_seq = jnp.moveaxis(ks, 1, 0)                      # (S, B)
+        if signs_grp is not None:
+            sg = jnp.take_along_axis(signs_grp, order, axis=-1) \
+                    .reshape(B, S)
+            sg_seq = jnp.moveaxis(sg, 1, 0)                  # (S, B) bool
+        else:
+            sg_seq = None
 
         # -- step 0: initialize run accumulator ---------------------------
         # (initial carries derive from data so their varying axes match
         # the body outputs under shard_map)
-        acc0, _ = lift(xs_seq[0], batch)
+        acc0, _ = lift(xs_seq[0], batch,
+                       sg_seq[0] if sg_seq is not None else None)
         acc0_arrs = cops.to_arrays(cops.normalize_k(acc0))
         first0 = tuple(i + a * 0 for i, a in zip(ident_arrs, acc0_arrs))
         carry0 = (
@@ -211,9 +239,12 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
 
         def step(carry, xs):
             accA, prevk, firstA, haschg = carry
-            block, kj = xs
+            if sg_seq is not None:
+                block, kj, sj = xs
+            else:
+                (block, kj), sj = xs, None
             acc = cops.from_arrays(accA)
-            lifted, (x, y, inf) = lift(block, batch)
+            lifted, (x, y, inf) = lift(block, batch, sj)
             summ = cops.mixed_add(acc, x, y, q_inf=inf)
             same = (kj == prevk)[None]
             new_acc = cops.select(same, summ, lifted)
@@ -232,8 +263,10 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
                     prevk, emit_valid)
             return new_carry, emit
 
+        xs_in = ((xs_seq[1:], ks_seq[1:], sg_seq[1:])
+                 if sg_seq is not None else (xs_seq[1:], ks_seq[1:]))
         (tailA, tail_key, firstA, haschg), (em_vals, em_keys, em_valid) = (
-            jax.lax.scan(step, carry0, (xs_seq[1:], ks_seq[1:])))
+            jax.lax.scan(step, carry0, xs_in))
 
         head_key = ks_seq[0]
         uniform = ~haschg
@@ -320,10 +353,23 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         tail_rows = tail_rows.reshape(-1, F3)
 
         dummy = jnp.int32(wb * NT)
+        if signed:
+            # sort keys count in (NBH+1)-wide blocks (magnitude 0..NBH
+            # per (window, msm)); the bucket table is NBH-wide with
+            # bucket b holding magnitude b+1, and magnitude 0 (a zero
+            # digit — no contribution) drops to the dummy slot.
+            def to_scatter(k, valid):
+                blk = k // jnp.int32(NBH + 1)
+                r = k - blk * jnp.int32(NBH + 1)
+                return jnp.where(valid & (r > 0),
+                                 blk * jnp.int32(NB) + r - 1, dummy)
+        else:
+            def to_scatter(k, valid):
+                return jnp.where(valid, k, dummy)
         keys_flat = jnp.concatenate([
-            jnp.where(em_valid, em_keys, dummy).reshape(-1),
-            jnp.where(first_valid, head_key, dummy).reshape(-1),
-            jnp.where(tail_valid, tail_key, dummy).reshape(-1),
+            to_scatter(em_keys, em_valid).reshape(-1),
+            to_scatter(head_key, first_valid).reshape(-1),
+            to_scatter(tail_key, tail_valid).reshape(-1),
         ])
         vals_all = jnp.concatenate([em_rows, first_rows, tail_rows], axis=0)
 
@@ -357,10 +403,16 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             3 * deg, L.NUM_LIMBS, G * NB)
         Sp = cops.from_arrays(tuple(barrs[i] for i in range(3 * deg)),
                               lb=0xFFFF)
-        W0_arrs = cops.to_arrays(cops.zero((G * NB,)))
-        W = cops.from_arrays(tuple(
-            w + b * 0 for w, b in zip(W0_arrs, cops.to_arrays(Sp))),
-            k=1, lb=0xFFFF)
+        if signed:
+            # signed digits store magnitude b+1 in bucket b: starting the
+            # weighted accumulator at the buckets themselves adds exactly
+            # sum_b bucket_b, shifting every weight by one for free.
+            W = cops.from_arrays(cops.to_arrays(Sp), lb=0xFFFF)
+        else:
+            W0_arrs = cops.to_arrays(cops.zero((G * NB,)))
+            W = cops.from_arrays(tuple(
+                w + b * 0 for w, b in zip(W0_arrs, cops.to_arrays(Sp))),
+                k=1, lb=0xFFFF)
         ncrd = 3 * deg
 
         def halves(P):
@@ -452,7 +504,7 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             jnp.moveaxis(a.reshape(L.NUM_LIMBS, Wn, num_msms), 1, 0)
             for a in cops.to_arrays(cops.normalize_k(W)))
 
-    def scan_phase(scalar_limbs, points_rows, seg_shift):
+    def scan_phase(scalar_limbs, points_rows, seg_ids):
         """(48, n) digit limbs + point rows -> (nwin, NT, F3) bucket tables."""
         limbs = scalar_limbs.astype(jnp.int32)                # (48, n)
         if c == 16:
@@ -475,6 +527,25 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             # windows — the kernel is identical, the result partial
             keys_all = keys_all[:num_windows]
 
+        signs_all = None
+        if signed:
+            # borrow ripple: digit d + carry >= 2^(c-1) recodes to
+            # d + carry - 2^c with a carry into the next window.  The
+            # top window never overflows: scalars are < p < 2^753 while
+            # the windows span 768 bits, so its digit stays tiny.
+            half = jnp.int32(1 << (c - 1))
+            fullc = jnp.int32(1 << c)
+
+            def ripple(carry, dig):
+                d2 = dig + carry
+                neg = d2 >= half
+                return neg.astype(jnp.int32), jnp.where(neg, d2 - fullc, d2)
+
+            _, sdig = jax.lax.scan(
+                ripple, jnp.zeros(keys_all.shape[1:], jnp.int32), keys_all)
+            signs_all = sdig < 0
+            keys_all = jnp.abs(sdig)                # magnitudes 0..2^(c-1)
+
         nwin_t = keys_all.shape[0]
 
         def fit_block(target):
@@ -494,18 +565,29 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         if L._hostcall_mult():
             wb_scan = nwin_t
 
-        # per-window keys with global (window, msm) bucket offsets; the
+        # per-window keys with global (window, msm) sort-key offsets; the
         # sort is per-window (axis -1), so constant offsets are inert
+        seg_shift = seg_ids.astype(jnp.int32) * jnp.int32(SEG_SPAN)
         keys_off = keys_all + seg_shift[None, :]
 
-        def scan_body(carry, kg_and_off):
-            kg, w_off = kg_and_off
-            return carry, group_msm(kg + w_off[:, None], points_rows)
-
-        offs = (jnp.arange(nwin_t, dtype=jnp.int32) % wb_scan) * NT
+        offs = (jnp.arange(nwin_t, dtype=jnp.int32) % wb_scan) * NT_sort
         if wb_scan == nwin_t:
-            bt = group_msm(keys_off + offs[:, None], points_rows)
+            bt = group_msm(keys_off + offs[:, None], points_rows, signs_all)
+        elif signed:
+            def scan_body_s(carry, xs):
+                kg, w_off, sg = xs
+                return carry, group_msm(kg + w_off[:, None],
+                                        points_rows, sg)
+            grp_keys = keys_off.reshape(nwin_t // wb_scan, wb_scan, -1)
+            grp_offs = offs.reshape(nwin_t // wb_scan, wb_scan)
+            grp_signs = signs_all.reshape(nwin_t // wb_scan, wb_scan, -1)
+            _, bts = jax.lax.scan(scan_body_s, 0,
+                                  (grp_keys, grp_offs, grp_signs))
+            bt = bts.reshape(nwin_t * NT, -1)
         else:
+            def scan_body(carry, kg_and_off):
+                kg, w_off = kg_and_off
+                return carry, group_msm(kg + w_off[:, None], points_rows)
             grp_keys = keys_off.reshape(nwin_t // wb_scan, wb_scan, -1)
             grp_offs = offs.reshape(nwin_t // wb_scan, wb_scan)
             _, bts = jax.lax.scan(scan_body, 0, (grp_keys, grp_offs))
@@ -564,19 +646,18 @@ def _trace_state_clean() -> bool:
         return True
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
 def _msm_window_sums_fused(cops: CurveOps, scalar_limbs, points_rows,
                            chunk_s: int, c: int, seg_ids, num_msms: int,
-                           num_windows):
+                           num_windows, signed: bool = False):
     """Scan + reduce phases fused into ONE XLA module (TPU path)."""
     import os
     n = points_rows.shape[0]
     scan_phase, reduce_phase = _window_kernel_parts(
-        cops, int(n), chunk_s, c, num_msms, num_windows)
+        cops, int(n), chunk_s, c, num_msms, num_windows, signed)
     if seg_ids is None:
         seg_ids = jnp.zeros((n,), jnp.int32)
-    seg_shift = seg_ids.astype(jnp.int32) * jnp.int32(1 << c)
-    bt = scan_phase(scalar_limbs, points_rows, seg_shift)
+    bt = scan_phase(scalar_limbs, points_rows, seg_ids)
     if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
         return _reduce_checksum(bt, num_msms, cops.F.deg)
     return reduce_phase(bt)
@@ -584,22 +665,25 @@ def _msm_window_sums_fused(cops: CurveOps, scalar_limbs, points_rows,
 
 @lru_cache(maxsize=None)
 def _cpu_phase_jits(cops: CurveOps, n: int, chunk_s: int, c: int,
-                    num_msms: int, num_windows):
+                    num_msms: int, num_windows, signed: bool):
     scan_phase, reduce_phase = _window_kernel_parts(
-        cops, n, chunk_s, c, num_msms, num_windows)
+        cops, n, chunk_s, c, num_msms, num_windows, signed)
     return jax.jit(scan_phase), jax.jit(reduce_phase)
 
 
 def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
                     chunk_s: int = DEFAULT_CHUNK, c: int = DEFAULT_C,
                     seg_ids=None, num_msms: int = 1,
-                    num_windows: int = None):
+                    num_windows: int = None, signed: bool = False):
     """Window sums of `num_msms` independent fused MSMs over one group.
 
     scalar_limbs: (48, n) uint32 — standard-domain 16-bit digit limbs
     points_rows:  (n, 2*deg*48) uint16 — Montgomery affine rows
     c: window bits (16: digits ARE the limbs; 8: limb bytes — used at
        small n where the 2^16-bucket reduction would dominate)
+    signed: recode to signed digits in [-2^(c-1), 2^(c-1)-1] — half the
+       buckets (reduction work + scatter memory) for the same window
+       sums; proof/window results are value-identical to unsigned.
     seg_ids: (n,) int32 MSM index per point (None = all zero).  Fusing
        several same-group MSMs (the prover's A/B1/L/H share G1) widens
        every batched stage and runs the sort/scan/scatter machinery once —
@@ -622,18 +706,17 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
             and _trace_state_clean()):
         n = int(points_rows.shape[0])
         scan_jit, reduce_jit = _cpu_phase_jits(
-            cops, n, chunk_s, c, num_msms, num_windows)
+            cops, n, chunk_s, c, num_msms, num_windows, signed)
         if seg_ids is None:
             seg_ids = jnp.zeros((n,), jnp.int32)
-        seg_shift = jnp.asarray(seg_ids).astype(jnp.int32) \
-            * jnp.int32(1 << c)
-        bt = scan_jit(scalar_limbs, points_rows, seg_shift)
+        bt = scan_jit(scalar_limbs, points_rows,
+                      jnp.asarray(seg_ids).astype(jnp.int32))
         if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
             return _reduce_checksum(bt, num_msms, cops.F.deg)
         return reduce_jit(bt)
     return _msm_window_sums_fused(cops, scalar_limbs, points_rows,
                                   chunk_s, c, seg_ids, num_msms,
-                                  num_windows)
+                                  num_windows, signed)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -661,7 +744,8 @@ def combine_window_sums(cops: CurveOps, ws_a, ws_b):
 
 def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
                              chunk_s: int, c: int, seg_ids_np=None,
-                             num_msms: int = 1, block_points: int = None):
+                             num_msms: int = 1, block_points: int = None,
+                             signed: bool = False):
     """msm_window_sums over host-resident points in bounded blocks.
 
     Keeps device footprint at one block of rows (+ the window sums)
@@ -676,7 +760,8 @@ def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
         return msm_window_sums(cops, jnp.asarray(scalar_limbs),
                                jnp.asarray(points_rows_np), chunk_s, c,
                                None if seg_ids_np is None
-                               else jnp.asarray(seg_ids_np), num_msms)
+                               else jnp.asarray(seg_ids_np), num_msms,
+                               signed=signed)
     B = ((min(block_points, n) + chunk_s - 1) // chunk_s) * chunk_s
     scalar_limbs = np.asarray(scalar_limbs)
     if seg_ids_np is None:
@@ -690,7 +775,8 @@ def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
         seg = np.zeros((B,), np.int32)
         seg[:hi - lo] = seg_ids_np[lo:hi]
         ws = msm_window_sums(cops, jnp.asarray(keys), jnp.asarray(rows),
-                             chunk_s, c, jnp.asarray(seg), num_msms)
+                             chunk_s, c, jnp.asarray(seg), num_msms,
+                             signed=signed)
         acc = ws if acc is None else combine_window_sums(cops, acc, ws)
     return acc
 
@@ -781,7 +867,7 @@ def finalize_msm(host_group, window_pts, cbits: int = None,
 
 def msm_device(cops: CurveOps, host_group, scalars: Sequence[int],
                points, p: int, chunk_s: int = DEFAULT_CHUNK,
-               c: int = DEFAULT_C):
+               c: int = DEFAULT_C, signed: bool = False):
     """End-to-end device MSM with host inputs/outputs (test/oracle path)."""
     n = len(scalars)
     n_pad = max(chunk_s, ((n + chunk_s - 1) // chunk_s) * chunk_s)
@@ -789,6 +875,6 @@ def msm_device(cops: CurveOps, host_group, scalars: Sequence[int],
         affine_points_to_rows(points, p, cops.F.deg), n_pad)
     limbs = scalars_to_limbs(scalars, n_pad)
     ws = msm_window_sums(cops, jnp.asarray(limbs), jnp.asarray(rows),
-                         chunk_s, c)
+                         chunk_s, c, signed=signed)
     pts = window_sums_to_host(cops, ws, p)
     return finalize_msm(host_group, pts, c)

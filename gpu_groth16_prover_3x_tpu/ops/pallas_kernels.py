@@ -23,7 +23,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import limbs as L
 
-LANE_TILE = 512      # batch lanes per kernel instance (4 x 128)
+# batch lanes per kernel instance: 1024 = one (8, 128) vreg per
+# accumulator row (50 live rows ~ the vreg file); GROTH16_PALLAS_TILE
+# overrides for hardware sweeps
+LANE_TILE = int(os.environ.get("GROTH16_PALLAS_TILE", "1024"))
 
 
 def _kernel_body(p_limbs: tuple, ninv16: int):

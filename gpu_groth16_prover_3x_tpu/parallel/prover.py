@@ -73,7 +73,8 @@ def compute_h_sharded(splan: ShardedNttPlan, mesh: Mesh, ca, cb, cc):
 def prove_sharded(curve: CurveParams, params: DeviceParams,
                   inputs: DeviceInput, mesh: Mesh, chunk_s: int = 8,
                   c: int = 8, num_windows: int = None,
-                  primary_input_size: int = 1, verbose: bool = False):
+                  primary_input_size: int = 1, verbose: bool = False,
+                  signed: bool = False):
     """Distributed proof; returns affine (A, B2, C) host tuples.
 
     Mirrors models/tpu_prover.prove with every MSM points-sharded and the
@@ -176,13 +177,15 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
             w_keys[:, pi1:pi1 + nL], h_std[:, :d],
             jnp.zeros((L.NUM_LIMBS, n_pad1 - n_tot), jnp.uint32)], axis=1)
         return sharded_msm_window_sums(g1, mesh, g1_keys, g1_rows,
-                                       chunk_s, c, seg, 4, num_windows)
+                                       chunk_s, c, seg, 4, num_windows,
+                                       signed=signed)
 
     def g2_phase(w_keys, b2_rows):
         b2_keys = jnp.pad(w_keys[:, :m + 1],
                           ((0, 0), (0, n2_pad - (m + 1))))
         return sharded_msm_window_sums(g2, mesh, b2_keys, b2_rows,
-                                       chunk_s, c, None, 1, num_windows)
+                                       chunk_s, c, None, 1, num_windows,
+                                       signed=signed)
 
     def sync(x):
         # under verbose (dryrun) force per-phase completion so the

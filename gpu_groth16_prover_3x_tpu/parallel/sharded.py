@@ -96,7 +96,7 @@ def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
                             chunk_s: int = 16, c: int = 16,
                             seg_ids=None, num_msms: int = 1,
                             num_windows: int = None,
-                            combine: bool = True):
+                            combine: bool = True, signed: bool = False):
     """MSM window sums with points sharded over the mesh axis.
 
     keys: (48, n) uint32 digit limbs; rows: (n, F) uint16 affine rows;
@@ -117,8 +117,10 @@ def sharded_msm_window_sums(cops: CurveOps, mesh: Mesh, keys, rows,
         seg_ids = jnp.zeros((n,), jnp.int32)
 
     def local(keys_l, rows_l, seg_l):
+        # signed recoding is per-scalar (each point carries its full
+        # 48-limb key), so points-sharding composes with it unchanged
         ws = msm_window_sums(cops, keys_l, rows_l, chunk_s, c,
-                             seg_l, num_msms, num_windows)
+                             seg_l, num_msms, num_windows, signed)
         # lift each (nwin, 48, num) to (1, nwin, 48, num) for the gather
         return tuple(w[None] for w in ws)
 

@@ -47,6 +47,33 @@ def block(name: str):
         leave_block(name)
 
 
+def log_device_memory(label: str = "") -> dict:
+    """Device-memory report (the reference prints free/total GPU memory
+    mid-kernel, multiexp/reduce.cu:184-191).  Returns {device: stats} and
+    prints one line per device when profiling is enabled; silently empty
+    on backends without allocator stats (XLA:CPU)."""
+    out = {}
+    try:
+        import jax
+        for d in jax.local_devices():
+            st = d.memory_stats() or {}
+            if not st:
+                continue
+            out[str(d)] = st
+            if _enabled:
+                used = st.get("bytes_in_use", 0)
+                lim = st.get("bytes_limit", 0)
+                peak = st.get("peak_bytes_in_use", 0)
+                print(f"{label + ': ' if label else ''}{d} memory "
+                      f"{used / 2**30:.2f} GiB in use, "
+                      f"peak {peak / 2**30:.2f} GiB, "
+                      f"limit {lim / 2**30:.2f} GiB",
+                      file=sys.stderr, flush=True)
+    except Exception:
+        pass
+    return out
+
+
 class PhaseTimer:
     """print_time-style running phase timer (cuda_prover_piecewise.cu:87-94)."""
 

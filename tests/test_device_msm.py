@@ -33,19 +33,49 @@ def fixtures(curve, group, rng, n):
     return dev, hg, scalars, pts_j, pts
 
 
-@pytest.mark.parametrize("curve,group,n,chunk,c", [
-    (MNT4753, "g1", 64, 16, 8),
-    (MNT4753, "g1", 50, 16, 8),     # padding path
-    (MNT4753, "g2", 32, 8, 8),
+@pytest.mark.parametrize("curve,group,n,chunk,c,signed", [
+    (MNT4753, "g1", 64, 16, 8, False),
+    (MNT4753, "g1", 50, 16, 8, False),     # padding path
+    (MNT4753, "g1", 64, 16, 8, True),      # signed digits (negated adds)
+    (MNT4753, "g1", 50, 16, 4, True),      # signed + padding
+    (MNT4753, "g2", 32, 8, 8, False),
     # deg-3 towers use nibble windows on the CPU backend: the 2^8-bucket
     # deg-3 reduction costs ~13 min of XLA:CPU compile+run (the c=8 path
     # is exercised on real TPU hardware by the e2e CLI gates)
-    (MNT6753, "g2", 32, 8, 4),
+    (MNT6753, "g2", 32, 8, 4, False),
+    (MNT6753, "g2", 32, 8, 4, True),
 ])
-def test_msm_vs_oracle(curve, group, n, chunk, c, rng):
+def test_msm_vs_oracle(curve, group, n, chunk, c, signed, rng):
     dev, hg, scalars, pts_j, pts = fixtures(curve, group, rng, n)
     want = host_msm.msm(hg, scalars, pts_j)
-    got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=chunk, c=c)
+    got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=chunk, c=c,
+                     signed=signed)
+    assert hg.equal(got, want)
+
+
+def test_msm_signed_adversarial_digits(rng):
+    """Scalars built to stress the borrow ripple: maximal 0x8000/0xffff
+    digit chains (carry propagation through every window) and the
+    boundary digits 0x7fff / 0x8000."""
+    curve = MNT4753
+    dev = get_curve_ops(curve, "g1")
+    hg = host_ec.g1_group(curve)
+    gen = host_ec.g1_generator(curve)
+    n = 32
+    pts_j = [hg.mul(rng.randrange(1, curve.fr.p), gen) for _ in range(n)]
+    pts = [hg.to_affine(pt) for pt in pts_j]
+    scalars = [
+        0,
+        int("8000" * 40, 16),            # all-0x8000 ripple chain
+        int("ffff" * 40, 16),            # all-0xffff (digit -1 everywhere)
+        int("7fff" * 40, 16),            # no recoding at all
+        int("8000" + "7fff" * 39, 16),   # carry flips 0x7fff to -0x8000
+        0x8000, 0x7fff, curve.fr.p - 1,
+    ]
+    scalars += [rng.randrange(curve.fr.p) for _ in range(n - len(scalars))]
+    want = host_msm.msm(hg, scalars, pts_j)
+    got = msm_device(dev, hg, scalars, pts, curve.fq.p, chunk_s=8, c=8,
+                     signed=True)
     assert hg.equal(got, want)
 
 
