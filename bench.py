@@ -47,6 +47,8 @@ def bench_msm() -> dict:
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # production config: the TPU prover defaults to signed digits
+    signed = bool(int(os.environ.get("BENCH_SIGNED", "1")))
     n = 1 << log2n
 
     curve = MNT4753
@@ -69,14 +71,14 @@ def bench_msm() -> dict:
 
     # compile + warmup
     t0 = time.time()
-    out = msm_window_sums(cops, keys_d, rows_d, chunk)
+    out = msm_window_sums(cops, keys_d, rows_d, chunk, signed=signed)
     jax.block_until_ready(out)
     compile_and_first = time.time() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = msm_window_sums(cops, keys_d, rows_d, chunk)
+        out = msm_window_sums(cops, keys_d, rows_d, chunk, signed=signed)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
@@ -84,7 +86,7 @@ def bench_msm() -> dict:
 
     import jax as _jax
     return {
-        "log2n": log2n, "n": n, "chunk": chunk,
+        "log2n": log2n, "n": n, "chunk": chunk, "signed": signed,
         "points_per_sec": round(pps, 1),
         "best_s": round(best, 3),
         "all_s": [round(t, 3) for t in times],

@@ -79,6 +79,73 @@ def msm_naive(group: Group, scalars, points) -> Point:
 
 # -- fixed-base windowed exponentiation (setup path) -------------------------
 
+# wNAF window thresholds (scalar_bits -> window i+1), transcribed from
+# the curve inits: G1 tables are {11,24,60,127} and G2 {5,15,39,109} for
+# BOTH curves (mnt4753_init.cpp:144-148,205-209; mnt6753_init.cpp:158-161,
+# 222-225).
+WNAF_WINDOW_TABLE_G1 = [11, 24, 60, 127]
+WNAF_WINDOW_TABLE_G2 = [5, 15, 39, 109]
+
+
+def find_wnaf(window_size: int, scalar: int) -> List[int]:
+    """Signed digits of `scalar` in width-w non-adjacent form
+    (wnaf.tcc find_wnaf:21-59): digit 0 or odd u in (-2^w, 2^w)."""
+    assert scalar >= 0
+    res = []
+    c = int(scalar)
+    full = 1 << (window_size + 1)
+    half = 1 << window_size
+    while c:
+        if c & 1:
+            u = c % full
+            if u > half:
+                u -= full
+            c -= u
+        else:
+            u = 0
+        res.append(u)
+        c >>= 1
+    return res
+
+
+def fixed_window_wnaf_exp(group: Group, window_size: int, base: Point,
+                          scalar: int) -> Point:
+    """scalar * base by wNAF with a 2^(w-1)-entry odd-multiples table
+    (wnaf.tcc fixed_window_wnaf_exp:61-98)."""
+    naf = find_wnaf(window_size, scalar)
+    tmp, dbl = base, group.dbl(base)
+    table = []
+    for _ in range(1 << (window_size - 1)):
+        table.append(tmp)            # 1, 3, 5, ... multiples
+        tmp = group.add(tmp, dbl)
+    res = group.zero
+    found = False
+    for u in reversed(naf):
+        if found:
+            res = group.dbl(res)
+        if u:
+            found = True
+            t = table[abs(u) // 2]
+            res = group.add(res, t if u > 0 else group.neg(t))
+    return res
+
+
+def opt_window_wnaf_exp(group: Group, base: Point, scalar: int,
+                        scalar_bits: int, window_table: List[int] = None
+                        ) -> Point:
+    """Window size from the per-group threshold table
+    (wnaf.tcc opt_window_wnaf_exp:100-122)."""
+    table = window_table or WNAF_WINDOW_TABLE_G1
+    best = 0
+    for i in range(len(table) - 1, -1, -1):
+        if scalar_bits >= table[i]:
+            best = i + 1
+            break
+    if best > 0:
+        return fixed_window_wnaf_exp(group, best, base, scalar)
+    return group.mul(scalar, base)
+
+
 def get_exp_window_size(num_scalars: int) -> int:
     """Simplified analog of libff::get_exp_window_size (multiexp.tcc:509-545)."""
     if num_scalars < 32:

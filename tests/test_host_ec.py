@@ -92,3 +92,34 @@ def test_windowed_exp(rng):
     out = batch_exp(g, bits, window, table, ks, coeff=coeff, modulus=curve.fr.p)
     for k, pt in zip(ks, out):
         assert g.equal(pt, g.mul(coeff * k % curve.fr.p, gen))
+
+
+def test_wnaf_exp(rng):
+    """wNAF digits are non-adjacent and sum back; wnaf exp == plain mul
+    (wnaf.tcc find_wnaf / fixed_window_wnaf_exp / opt_window_wnaf_exp)."""
+    from gpu_groth16_prover_3x_tpu.host.msm import (
+        WNAF_WINDOW_TABLE_G2, find_wnaf, fixed_window_wnaf_exp,
+        opt_window_wnaf_exp)
+    curve = MNT4753
+    g = ec.g1_group(curve)
+    gen = ec.g1_generator(curve)
+    for w in (2, 4):
+        for k in (0, 1, 5, (1 << 64) - 1, rng.randrange(curve.fr.p)):
+            naf = find_wnaf(w, k)
+            assert sum(d << i for i, d in enumerate(naf)) == k
+            assert all(d == 0 or (d % 2 == 1 and abs(d) < (1 << w))
+                       for d in naf)
+            # width-w NAF: at most one nonzero in any w+1 consecutive digits
+            for i, d in enumerate(naf):
+                if d:
+                    assert all(x == 0 for x in naf[i + 1:i + 1 + w])
+            assert g.equal(fixed_window_wnaf_exp(g, w, gen, k), g.mul(k, gen))
+    k = rng.randrange(curve.fr.p)
+    assert g.equal(opt_window_wnaf_exp(g, gen, k, k.bit_length()),
+                   g.mul(k, gen))
+    g2 = ec.g2_group(curve)
+    gen2 = ec.g2_generator(curve)
+    assert g2.equal(
+        opt_window_wnaf_exp(g2, gen2, k, k.bit_length(),
+                            window_table=WNAF_WINDOW_TABLE_G2),
+        g2.mul(k, gen2))
