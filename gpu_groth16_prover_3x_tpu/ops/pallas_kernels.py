@@ -103,17 +103,77 @@ def _build(p: int, ninv16: int, batch: int, interpret: bool):
     return jax.jit(fn)
 
 
+_SELF_CHECK = None  # lazily computed: True once the kernel proves exact
+
+
+def _self_check() -> bool:
+    """One-time exactness gate for the compiled kernel on this backend.
+
+    Runs the Pallas CIOS against the XLA-scan reference on adversarial
+    canonical operands (near-bound k*p values, all-ones limb patterns)
+    for BOTH 753-bit primes; any mismatch or compile failure disables
+    the Pallas path for the process (the scan path is always exact).
+    The check is a few tiny eager computations (~seconds incl. kernel
+    compile) and runs before the first real multiply.
+    """
+    global _SELF_CHECK
+    if _SELF_CHECK is not None:
+        return _SELF_CHECK
+    try:
+        from ..curves.constants import MNT4753, MNT6753
+        rng = np.random.default_rng(0xC105)
+        ok = True
+        for p in (MNT4753.fq.p, MNT6753.fq.p):
+            ctx = L.MontCtx(p)
+            bound = (1 << 13) * p
+            n = 256
+            vals_a, vals_b = [], []
+            for i in range(n):
+                if i % 5 == 0:
+                    va = bound - 1 - i
+                elif i % 5 == 1:
+                    va = ((1 << 768) - 1) % bound
+                else:
+                    va = int(rng.integers(1 << 62)) * p % bound + i
+                vb = (va * 0x9E3779B97F4A7C15 + i) % bound
+                vals_a.append(va)
+                vals_b.append(vb)
+            a = jnp.asarray(np.stack(
+                [L.int_to_limbs(v) for v in vals_a], axis=1))
+            b = jnp.asarray(np.stack(
+                [L.int_to_limbs(v) for v in vals_b], axis=1))
+            got = np.asarray(mont_mul_pallas(ctx, a, b))
+            want = np.asarray(L._mont_mul_xla(ctx, a, b))
+            ok = ok and np.array_equal(got, want)
+        _SELF_CHECK = bool(ok)
+        if not ok:  # pragma: no cover - hardware-dependent
+            import sys
+            print("gpu_groth16_prover_3x_tpu: Pallas CIOS self-check "
+                  "MISMATCH; falling back to the XLA scan path",
+                  file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        import sys
+        print(f"gpu_groth16_prover_3x_tpu: Pallas CIOS unavailable "
+              f"({type(e).__name__}: {e}); using the XLA scan path",
+              file=sys.stderr, flush=True)
+        _SELF_CHECK = False
+    return _SELF_CHECK
+
+
 def pallas_available() -> bool:
-    """Opt-in for now (GROTH16_USE_PALLAS=1 on TPU, or FORCE for interpret
-    tests); flips to TPU-default once validated on hardware."""
+    """Default ON for TPU backends, behind a one-time exactness
+    self-check (GROTH16_NO_PALLAS=1 opts out; GROTH16_FORCE_PALLAS=1
+    skips the backend check for interpret-mode tests)."""
     if os.environ.get("GROTH16_FORCE_PALLAS"):
         return True
-    if not os.environ.get("GROTH16_USE_PALLAS"):
+    if os.environ.get("GROTH16_NO_PALLAS"):
         return False
     try:
-        return jax.devices()[0].platform == "tpu"
+        if jax.devices()[0].platform != "tpu":
+            return False
     except Exception:
         return False
+    return _self_check()
 
 
 def mont_mul_pallas(ctx: "L.MontCtx", a, b):

@@ -41,3 +41,35 @@ def test_pallas_mont_mul(rng, monkeypatch):
         got = L.limbs_to_int(out[:, i:i + 1])
         assert got % p == x * y * rinv % p
         assert got < 2 * p
+
+
+def test_pallas_self_check_gate(monkeypatch):
+    """The TPU-default dispatch gate: exact kernel -> enabled; any
+    mismatch or failure -> permanent fallback to the XLA scan path."""
+    import jax.numpy as jnp2
+
+    # exact stand-in: self-check must pass
+    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    monkeypatch.setattr(PK, "mont_mul_pallas",
+                        lambda ctx, a, b: L._mont_mul_xla(ctx, a, b))
+    assert PK._self_check() is True
+
+    # off-by-one kernel: self-check must fail closed
+    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    monkeypatch.setattr(
+        PK, "mont_mul_pallas",
+        lambda ctx, a, b: L._mont_mul_xla(ctx, a, b) + jnp2.uint32(1))
+    assert PK._self_check() is False
+
+    # raising kernel: disabled, no exception escapes
+    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    def _boom(ctx, a, b):
+        raise RuntimeError("mosaic says no")
+    monkeypatch.setattr(PK, "mont_mul_pallas", _boom)
+    assert PK._self_check() is False
+
+    # CPU backend: pallas_available is False without any env overrides
+    monkeypatch.delenv("GROTH16_FORCE_PALLAS", raising=False)
+    monkeypatch.delenv("GROTH16_NO_PALLAS", raising=False)
+    if jax.devices()[0].platform != "tpu":
+        assert PK.pallas_available() is False
