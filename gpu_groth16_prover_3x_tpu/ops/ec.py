@@ -79,10 +79,16 @@ class CurveOps:
         self.curve = curve
         self.group = group
         self.coord_k = COORD_K if group == "g1" else COORD_K_G2
+        # NOTE: the b3 curve constant is constructed LAZILY (per access)
+        # so every trace context builds its own constant from host numpy
+        # — a Pallas kernel body (ops/pallas_group.py) must not close
+        # over arrays traced outside the kernel.
         if group == "g1":
             self.F = fq_ops(curve)
             a = curve.a
-            self._b3 = self.F.const(3 * curve.b % curve.fq.p)
+            _F = self.F
+            _b3v = 3 * curve.b % curve.fq.p
+            self._b3_make = lambda: _F.const(_b3v)
             # no reduction needed: a is tiny (2 or 11), and every a-fold
             # feeds an add chain whose product bounds stay < 2^9 * p^2,
             # far under the ab < R*p Montgomery headroom (MUL_BOUND)
@@ -96,8 +102,8 @@ class CurveOps:
                 a26 = curve.a * alpha               # 26
                 # b3 = (0, c): single-coefficient constant -> 2 base muls
                 # per product instead of Karatsuba 3 (field.BaseScalar)
-                self._b3 = BaseScalar(
-                    base.const(3 * curve.twist_b[1] % p), 1)
+                _b3v = 3 * curve.twist_b[1] % p
+                self._b3_make = lambda: BaseScalar(base.const(_b3v), 1)
 
                 def a_mul(t):
                     return tuple(base.reduce(base.small(x, a26), 2)
@@ -107,8 +113,8 @@ class CurveOps:
                 a11 = curve.a                       # 11
                 # b3 = (c, 0, 0): base-field scalar -> 3 base muls per
                 # product instead of Karatsuba 6 (field.BaseScalar)
-                self._b3 = BaseScalar(
-                    base.const(3 * curve.twist_b[0] % p), 0)
+                _b3v = 3 * curve.twist_b[0] % p
+                self._b3_make = lambda: BaseScalar(base.const(_b3v), 0)
 
                 def a_mul(t):
                     # (0,0,11)*(t0,t1,t2) = (121*t1, 121*t2, 11*t0)
@@ -117,6 +123,10 @@ class CurveOps:
                             base.reduce(base.small(t[0], a11), 2))
 
             self._a_mul = a_mul
+
+    @property
+    def _b3(self):
+        return self._b3_make()
 
     # -- constructors ---------------------------------------------------------
 
@@ -134,6 +144,10 @@ class CurveOps:
 
     def add(self, P: Point, Q: Point) -> Point:
         """Complete projective-projective addition (RCB15 Algorithm 1)."""
+        from . import pallas_group as PG
+        R = PG.maybe_add(self, P, Q)
+        if R is not None:
+            return R
         F = self.F
         am = self._a_mul
         X1, Y1, Z1 = P
@@ -171,6 +185,10 @@ class CurveOps:
         `q_inf`: optional (1, *batch) bool mask; where True the affine
         operand is the identity (serialized as y == 0) and P is returned.
         """
+        from . import pallas_group as PG
+        R = PG.maybe_mixed_add(self, P, x2, y2, q_inf)
+        if R is not None:
+            return R
         F = self.F
         am = self._a_mul
         X1, Y1, Z1 = P
@@ -201,6 +219,10 @@ class CurveOps:
 
     def dbl(self, P: Point) -> Point:
         """Complete doubling (RCB15 Algorithm 3)."""
+        from . import pallas_group as PG
+        R = PG.maybe_dbl(self, P)
+        if R is not None:
+            return R
         F = self.F
         am = self._a_mul
         X, Y, Z = P

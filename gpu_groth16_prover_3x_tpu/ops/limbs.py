@@ -160,9 +160,33 @@ def _cpu_backend() -> bool:
 
 
 _HOSTCALL_SCOPE = None  # tri-state trace-time override (see hostcall_scope)
+_KERNEL_MUL = False     # True while tracing INSIDE a Pallas kernel body
 
 
 from contextlib import contextmanager
+
+
+@contextmanager
+def kernel_mul_scope():
+    """Mark code as tracing inside a Pallas kernel body.
+
+    mont_mul then uses the plain unrolled CIOS (`_mont_mul_unrolled`) —
+    a nested pallas_call cannot be emitted from within a kernel, and
+    Mosaic keeps the straight-line tensor ops register/VMEM-resident,
+    which is the whole point of the fused group kernels
+    (ops/pallas_group.py).  Also read by the group-kernel dispatch to
+    prevent recursive kernel-in-kernel dispatch."""
+    global _KERNEL_MUL
+    prev = _KERNEL_MUL
+    _KERNEL_MUL = True
+    try:
+        yield
+    finally:
+        _KERNEL_MUL = prev
+
+
+def in_kernel_mul() -> bool:
+    return _KERNEL_MUL
 
 
 @contextmanager
@@ -262,6 +286,11 @@ def mont_mul(ctx: MontCtx, a, b):
         for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
             lanes *= int(d)
         opcount.add("fp_mont_mul", lanes)
+    if _KERNEL_MUL:
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
+        b = jnp.broadcast_to(b, (NUM_LIMBS,) + batch)
+        return _mont_mul_unrolled(ctx, a, b)
     if PK.pallas_available():
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         a = jnp.broadcast_to(a, (NUM_LIMBS,) + batch)
@@ -329,16 +358,13 @@ def _mont_mul_xla_dyn(ctx: MontCtx, a, b):
     return canon(t)[:NUM_LIMBS]
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _mont_mul_xla_call(ctx: MontCtx, a, b):
-    """Non-inline, UNROLLED CIOS for the CPU backend (see mont_mul).
+def _mont_mul_unrolled(ctx: MontCtx, a, b):
+    """Plain (undecorated) unrolled CIOS on broadcast-matched operands.
 
-    The scan form costs XLA:CPU ~15 thunk dispatches per iteration x 48
-    iterations per multiply — with 8 virtual partitions contending on
-    few cores that dispatch overhead dominates tiny-shape runs (the
-    multichip dryrun).  Unrolled straight-line code fuses into a handful
-    of thunks per multiply; the one-off compile (~9s/shape) is shared
-    across all same-shape call sites by this jit boundary.
+    Used directly inside Pallas kernel bodies (kernel_mul_scope) where
+    a jit boundary or nested pallas_call is unavailable, and wrapped by
+    `_mont_mul_xla_call` for the CPU dryrun path.  Limb-exact with every
+    other mont_mul implementation (the canonical REDC result is unique).
     """
     batch = a.shape[1:]
     bpad = jnp.concatenate([b, jnp.zeros((2,) + batch, U32)], axis=0)
@@ -353,6 +379,20 @@ def _mont_mul_xla_call(ctx: MontCtx, a, b):
         t = lazy_pass(t)
         t = jnp.concatenate([t[1:], jnp.zeros((1,) + batch, U32)], axis=0)
     return canon(t)[:NUM_LIMBS]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _mont_mul_xla_call(ctx: MontCtx, a, b):
+    """Non-inline, UNROLLED CIOS for the CPU backend (see mont_mul).
+
+    The scan form costs XLA:CPU ~15 thunk dispatches per iteration x 48
+    iterations per multiply — with 8 virtual partitions contending on
+    few cores that dispatch overhead dominates tiny-shape runs (the
+    multichip dryrun).  Unrolled straight-line code fuses into a handful
+    of thunks per multiply; the one-off compile (~9s/shape) is shared
+    across all same-shape call sites by this jit boundary.
+    """
+    return _mont_mul_unrolled(ctx, a, b)
 
 
 @partial(jax.jit, static_argnums=(0,), inline=True)
