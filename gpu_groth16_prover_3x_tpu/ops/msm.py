@@ -237,12 +237,19 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             ks_seq[0] != ks_seq[0],                          # has_change
         )
 
-        def step(carry, xs):
-            accA, prevk, firstA, haschg = carry
-            if sg_seq is not None:
-                block, kj, sj = xs
-            else:
-                (block, kj), sj = xs, None
+        n_acc = 3 * deg
+        signed_xs = sg_seq is not None
+
+        def step_core(*arrs):
+            """Pure-array scan step: the whole run-boundary logic + one
+            mixed_add.  Written array-in/array-out so pallas_group's
+            maybe_fuse can run it as ONE TPU kernel (every intermediate
+            VMEM-resident); the inline call is the identical trace."""
+            accA = arrs[:n_acc]
+            firstA = arrs[n_acc:2 * n_acc]
+            prevk, haschg, kj = arrs[2 * n_acc:2 * n_acc + 3]
+            block = arrs[2 * n_acc + 3]
+            sj = arrs[2 * n_acc + 4] if signed_xs else None
             acc = cops.from_arrays(accA)
             lifted, (x, y, inf) = lift(block, batch, sj)
             summ = cops.mixed_add(acc, x, y, q_inf=inf)
@@ -252,15 +259,30 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             emit_valid = change & haschg
             first_now = change & (~haschg)
             newfirst = _tree_select(first_now[None], accA, firstA)
-            new_carry = (
-                cops.to_arrays(cops.normalize_k(new_acc)),
-                kj,
-                newfirst,
-                haschg | change,
-            )
+            new_accA = cops.to_arrays(cops.normalize_k(new_acc))
             # resolve lazy carries before narrowing to uint16 storage
-            emit = (tuple(L.canon(a).astype(jnp.uint16) for a in accA),
-                    prevk, emit_valid)
+            em_vals = tuple(L.canon(a).astype(jnp.uint16) for a in accA)
+            return (tuple(new_accA) + tuple(newfirst) + em_vals
+                    + (haschg | change, emit_valid))
+
+        def step(carry, xs):
+            accA, prevk, firstA, haschg = carry
+            if signed_xs:
+                block, kj, sj = xs
+            else:
+                (block, kj), sj = xs, None
+            from . import pallas_group as PG
+            args = (tuple(accA) + tuple(firstA) + (prevk, haschg, kj, block)
+                    + ((sj,) if signed_xs else ()))
+            out = PG.maybe_fuse("msm_scan_step", step_core, args)
+            if out is None:
+                out = step_core(*args)
+            new_accA = out[:n_acc]
+            newfirst = out[n_acc:2 * n_acc]
+            em_vals = out[2 * n_acc:3 * n_acc]
+            new_haschg, emit_valid = out[3 * n_acc:]
+            new_carry = (tuple(new_accA), kj, tuple(newfirst), new_haschg)
+            emit = (tuple(em_vals), prevk, emit_valid)
             return new_carry, emit
 
         xs_in = ((xs_seq[1:], ks_seq[1:], sg_seq[1:])

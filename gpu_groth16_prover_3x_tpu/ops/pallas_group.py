@@ -41,6 +41,7 @@ from .field import Fel
 LANE_TILE = int(os.environ.get("GROTH16_GROUP_TILE", "512"))
 
 _DISABLED = False          # set on any self-check failure (fail-closed)
+_SUPPRESS = False          # temporarily force the XLA path (self-checks)
 _CHECKED = {}              # signature -> bool (self-check outcome)
 _BUILT = {}                # (cops, op, sig, B, T, interpret) -> callable
 
@@ -49,8 +50,23 @@ def _interpret() -> bool:
     return bool(os.environ.get("GROTH16_GROUP_INTERPRET"))
 
 
+def _aot_call(fn, samples):
+    """Execute fn on concrete numpy samples OUTSIDE any ambient trace.
+
+    The dispatch (and hence the one-time self-check) usually fires while
+    an outer jit is tracing; plain calls would stage onto that trace and
+    hand back tracers, and jax.ensure_compile_time_eval leaks eagerness
+    into the Pallas kernel's own trace (its internal zeros turn into
+    captured constants).  The AOT path traces in a fresh context and
+    executes the compiled artifact directly.
+    """
+    sds = [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+           for x in samples]
+    return jax.jit(fn).lower(*sds).compile()(*samples)
+
+
 def _enabled() -> bool:
-    if _DISABLED or L.in_kernel_mul():
+    if _DISABLED or _SUPPRESS or L.in_kernel_mul():
         return False
     if os.environ.get("GROTH16_NO_PALLAS_GROUP"):
         return False
@@ -172,9 +188,11 @@ def _build(cops, op, sig, B):
     closed = jax.make_jaxpr(flat)(*example)
     jaxpr, consts = closed.jaxpr, closed.consts
     from jax import core as jcore
-    # 2-D lift: TPU kernel inputs want rank >= 2 (scalars/(n,) consts)
+    # 2-D lift: TPU kernel inputs want rank >= 2 (scalars/(n,) consts).
+    # Kept as NUMPY: a jnp op here would run under whatever jit trace the
+    # dispatch fired in and hand the kernel tracers instead of values.
     const_shapes = [tuple(np.shape(c)) for c in consts]
-    consts2d = [jnp.asarray(c).reshape(_lift2d(s))
+    consts2d = [np.asarray(c).reshape(_lift2d(s))
                 for c, s in zip(consts, const_shapes)]
 
     def kernel(*refs):
@@ -241,19 +259,27 @@ def _self_check(cops, op, sig) -> bool:
             vals[0] = 0                      # identity/zero lanes
             vals[1] = k * p - 1              # at the static bound
             arr = np.stack([L.int_to_limbs(v) for v in vals], axis=1)
-            fels.append(Fel(jnp.asarray(arr), k, lb))
+            # numpy on purpose: jnp arrays built under an outer jit
+            # trace are tracers; the check must see concrete values
+            fels.append(Fel(arr, k, lb))
         mask = None
         if has_mask:
-            mask = jnp.asarray(
-                rng.integers(0, 2, size=(1, Bc)).astype(bool))
+            mask = rng.integers(0, 2, size=(1, Bc)).astype(bool)
         call, out_bounds = _build(cops, op, sig, Bc)
         args = [f.v for f in fels]
         if has_mask:
-            args.append(mask.astype(jnp.uint32))
-        got = [np.asarray(x) for x in call(*args)]
-        with L.kernel_mul_scope():
-            want_fels = _trace_op(cops, op, fels, mask)
-        want = [np.asarray(f.v) for f in want_fels]
+            args.append(mask.astype(np.uint32))
+        got = [np.asarray(x) for x in _aot_call(call, args)]
+
+        def ref(*arrs):
+            rf = [Fel(a, k, lb)
+                  for a, (k, lb) in zip(arrs, in_bounds)]
+            rm = (arrs[-1] != 0) if has_mask else None
+            with L.kernel_mul_scope():
+                outs = _trace_op(cops, op, rf, rm)
+            return tuple(o.v for o in outs)
+
+        want = [np.asarray(x) for x in _aot_call(ref, args)]
         ok = all(np.array_equal(g, w) for g, w in zip(got, want))
         if not ok:  # pragma: no cover - hardware-dependent
             import sys
@@ -306,3 +332,152 @@ def maybe_add(cops, P, Q):
 
 def maybe_dbl(cops, P):
     return _run(cops, "dbl", P, None, None)
+
+
+# -- generic lane-axis kernel fusion combinator ---------------------------------
+#
+# `maybe_fuse(tag, fn, args)` runs an arbitrary pure jnp function — whose
+# array arguments and results all carry the batch on their LAST axis —
+# as ONE Pallas kernel tiled over that axis.  Used for whole-scan-step
+# fusion in the MSM (ops/msm.py), where even the fused group op leaves
+# the run-boundary select/emit logic as ~10 extra HBM round trips per
+# step.  Same machinery as the group kernels: jaxpr const hoisting, a
+# per-signature exactness self-check, fail-closed to plain fn.
+
+_FUSED = {}       # (tag, per-arg (rank, rows, dtype)) -> run | False
+
+
+def _rand_like(rng, shape, dtype):
+    # numpy on purpose: a jnp array built under an outer jit trace is a
+    # tracer, and the self-check must evaluate on concrete values
+    if dtype == jnp.uint32:
+        return rng.integers(0, 1 << 16, size=shape, dtype=np.uint32)
+    if dtype == jnp.uint16:
+        return rng.integers(0, 1 << 16, size=shape).astype(np.uint16)
+    if dtype == jnp.int32:
+        return rng.integers(0, 1 << 10, size=shape, dtype=np.int32)
+    if dtype == jnp.bool_:
+        return rng.integers(0, 2, size=shape).astype(bool)
+    raise TypeError(f"no random generator for {dtype}")
+
+
+def _fuse_build(fn, arg_specs, T):
+    """arg_specs: per-arg ((rows-or-None for rank-1), dtype)."""
+    in_ranks = [1 if rows is None else 2 for rows, _ in arg_specs]
+    n_in = len(arg_specs)
+    out_ranks = []
+
+    def norm_fn(*arrs2d):
+        args = [a[0] if r == 1 else a for a, r in zip(arrs2d, in_ranks)]
+        with L.kernel_mul_scope():
+            outs = fn(*args)
+        del out_ranks[:]
+        out_ranks.extend(o.ndim for o in outs)
+        return tuple(o[None] if o.ndim == 1 else o for o in outs)
+
+    example = [jax.ShapeDtypeStruct((rows or 1, T), d)
+               for rows, d in arg_specs]
+    closed = jax.make_jaxpr(norm_fn)(*example)
+    jaxpr, consts = closed.jaxpr, closed.consts
+    out_avals = closed.out_avals
+    from jax import core as jcore
+    const_shapes = [tuple(np.shape(c)) for c in consts]
+    consts2d = [np.asarray(c).reshape(_lift2d(s))    # numpy: see _build
+                for c, s in zip(consts, const_shapes)]
+    interpret = _interpret()
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def kernel(*refs):
+        ins = [r[...] for r in refs[:n_in]]
+        cvals = [refs[n_in + i][...].reshape(s)
+                 for i, s in enumerate(const_shapes)]
+        res = jcore.eval_jaxpr(jaxpr, cvals, *ins)
+        for ref, v in zip(refs[n_in + len(consts):], res):
+            ref[...] = v
+
+    in_specs = [pl.BlockSpec((rows or 1, T), lambda i: (0, i),
+                             memory_space=ms) for rows, _ in arg_specs]
+    in_specs += [pl.BlockSpec(c.shape, (lambda i: (0, 0)), memory_space=ms)
+                 for c in consts2d]
+
+    calls = {}
+
+    def run(*arrays):
+        B = arrays[0].shape[-1]
+        call = calls.get(B)
+        if call is None:
+            out_shape = [jax.ShapeDtypeStruct((a.shape[0], B), a.dtype)
+                         for a in out_avals]
+            out_specs = [pl.BlockSpec((a.shape[0], T), lambda i: (0, i),
+                                      memory_space=ms) for a in out_avals]
+            call = calls[B] = pl.pallas_call(
+                kernel, out_shape=out_shape, grid=(B // T,),
+                in_specs=in_specs, out_specs=out_specs,
+                interpret=interpret)
+        arrs2d = [a[None] if a.ndim == 1 else a for a in arrays]
+        outs = call(*arrs2d, *consts2d)
+        return tuple(o[0] if r == 1 else o
+                     for o, r in zip(outs, out_ranks))
+
+    return run
+
+
+def maybe_fuse(tag, fn, args):
+    """fn(*args) as one Pallas kernel, or None (caller runs fn inline).
+
+    args: arrays with the batch on the LAST axis (rank 1 or 2), all the
+    same batch size B; B must tile by LANE_TILE.  fn must be a pure jnp
+    function of the arrays alone (anything else it closes over must be
+    a Python/numpy constant — jaxpr consts are hoisted automatically).
+    """
+    if not _enabled():
+        return None
+    B = args[0].shape[-1]
+    T = B if _interpret() else min(LANE_TILE, B)
+    if B % max(T, 128):
+        return None
+    for a in args:
+        if a.ndim not in (1, 2) or a.shape[-1] != B:
+            return None
+    sig = (tag, tuple((a.ndim, a.shape[0] if a.ndim == 2 else None,
+                       str(a.dtype)) for a in args))
+    cached = _FUSED.get(sig)
+    if cached is False:
+        return None
+    if cached is None:
+        try:
+            specs = [(a.shape[0] if a.ndim == 2 else None, a.dtype)
+                     for a in args]
+            run = _fuse_build(fn, specs, T)
+            # self-check: kernel == plain fn on random operands (every op
+            # is a deterministic mod-2^32 integer op, so arbitrary bits
+            # validate the compiled kernel exactly)
+            rng = np.random.default_rng(abs(hash(sig)) & 0xFFFFFFFF)
+            samples = [_rand_like(rng, a.shape[:-1] + (T,), a.dtype)
+                       for a in args]
+            global _SUPPRESS
+            got = _aot_call(run, samples)
+            _SUPPRESS = True         # reference trace: pure XLA path
+            try:
+                want = _aot_call(fn, samples)
+            finally:
+                _SUPPRESS = False
+            ok = all(np.array_equal(np.asarray(g), np.asarray(w))
+                     for g, w in zip(got, want))
+            if not ok:  # pragma: no cover - hardware-dependent
+                import sys
+                print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' kernel "
+                      "self-check MISMATCH; inline path", file=sys.stderr,
+                      flush=True)
+                _FUSED[sig] = False
+                return None
+            _FUSED[sig] = run
+            cached = run
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            import sys
+            print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' kernel "
+                  f"unavailable ({type(e).__name__}: {e}); inline path",
+                  file=sys.stderr, flush=True)
+            _FUSED[sig] = False
+            return None
+    return cached(*args)

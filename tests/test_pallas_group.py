@@ -135,3 +135,8 @@ def test_msm_with_group_kernels(rng, monkeypatch):
     got = msm_device(cops, hg, scalars, pts, curve.fq.p, chunk_s=16, c=8)
     want = host_msm.msm(hg, scalars, pts_j)
     assert hg.equal(got, want)
+    # the fused scan-step kernel must actually have ENGAGED (a silent
+    # fail-closed fallback would still produce correct results)
+    assert "msm_scan_step" in {k[0] for k in PG._FUSED}
+    assert not [k for k, v in PG._FUSED.items() if v is False]
+    assert not PG._DISABLED
