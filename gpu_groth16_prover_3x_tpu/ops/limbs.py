@@ -445,11 +445,15 @@ def sub(ctx: MontCtx, a, b, k_b: int):
 
     Complement trick: a + (~b) + 1 + k_b*p computed mod 2^768 — the
     guaranteed 2^768 overflow is dropped by canon's mod-2^768 truncation.
+    The +1 is folded into the static kp constant (kp[0] is a 16-bit
+    value in a u32 lane, so +1 cannot overflow): a scatter-add
+    (`.at[0].add(1)`) has no Mosaic lowering inside fused Pallas
+    kernels and costs a real scatter on the XLA path.
     """
-    kp = jnp.asarray(ctx.kp_limbs(k_b)).reshape(
-        (NUM_LIMBS,) + (1,) * (a.ndim - 1))
+    kp1 = np.array(ctx.kp_limbs(k_b), dtype=np.uint32)
+    kp1[0] += 1
+    kp = jnp.asarray(kp1).reshape((NUM_LIMBS,) + (1,) * (a.ndim - 1))
     s = a + (MASK - b) + kp
-    s = s.at[0].add(1)
     return canon(s)
 
 
@@ -465,11 +469,16 @@ def small_mul(a, c: int):
 
 
 def cond_sub_kp(ctx: MontCtx, x, k: int):
-    """x - k*p if x >= k*p else x (one compare-subtract pass)."""
+    """x - k*p if x >= k*p else x (one compare-subtract pass).
+
+    The complement's +1 rides the static (MASK - kp) constant — see sub()
+    for why (`.at[0].add` is a scatter with no Mosaic lowering).
+    """
     batch = x.shape[1:]
-    kp = jnp.asarray(ctx.kp_limbs(k)).reshape((NUM_LIMBS,) + (1,) * len(batch))
-    s = jnp.concatenate([x + (MASK - kp), jnp.zeros((1,) + batch, U32)], 0)
-    s = s.at[0].add(1)
+    neg1 = np.uint32(0xFFFF) - np.array(ctx.kp_limbs(k), dtype=np.uint32)
+    neg1[0] += 1
+    neg = jnp.asarray(neg1).reshape((NUM_LIMBS,) + (1,) * len(batch))
+    s = jnp.concatenate([x + neg, jnp.zeros((1,) + batch, U32)], 0)
     s = canon(s)                      # 49 limbs; limb 48 == 1 iff x >= k*p
     ge = s[NUM_LIMBS:NUM_LIMBS + 1] > 0
     return jnp.where(ge, s[:NUM_LIMBS], x)

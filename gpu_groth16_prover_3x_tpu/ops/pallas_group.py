@@ -289,10 +289,12 @@ def _self_check(cops, op, sig) -> bool:
             _DISABLED = True
     except Exception as e:  # pragma: no cover - hardware-dependent
         import sys
-        print(f"gpu_groth16_prover_3x_tpu: fused group kernels unavailable "
-              f"({type(e).__name__}: {e}); using the XLA path",
-              file=sys.stderr, flush=True)
-        _DISABLED = True
+        print(f"gpu_groth16_prover_3x_tpu: fused {op} group kernel "
+              f"unavailable for {sig!r} ({type(e).__name__}: {e}); "
+              f"XLA path for this signature", file=sys.stderr, flush=True)
+        # compile/lowering failures are per-signature (a formula variant
+        # may hit an unsupported Mosaic op); only an exactness MISMATCH
+        # above fail-closes the whole group-kernel path
         ok = False
     _CHECKED[(cops, op, sig)] = ok
     return ok

@@ -115,10 +115,23 @@ def _self_check() -> bool:
     the Pallas path for the process (the scan path is always exact).
     The check is a few tiny eager computations (~seconds incl. kernel
     compile) and runs before the first real multiply.
+
+    The first multiply usually fires while an outer jit is TRACING the
+    prover: plain calls would stage onto that trace and hand back
+    tracers (np.asarray on one raises TracerArrayConversionError, which
+    used to fail-close the Pallas path for the whole process).  Both
+    sides therefore run through an AOT lower/compile in a fresh trace
+    context, exactly like ops/pallas_group._aot_call.
     """
     global _SELF_CHECK
     if _SELF_CHECK is not None:
         return _SELF_CHECK
+
+    def _aot(fn, *samples):
+        sds = [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+               for x in samples]
+        return jax.jit(fn).lower(*sds).compile()(*samples)
+
     try:
         from ..curves.constants import MNT4753, MNT6753
         rng = np.random.default_rng(0xC105)
@@ -138,12 +151,12 @@ def _self_check() -> bool:
                 vb = (va * 0x9E3779B97F4A7C15 + i) % bound
                 vals_a.append(va)
                 vals_b.append(vb)
-            a = jnp.asarray(np.stack(
-                [L.int_to_limbs(v) for v in vals_a], axis=1))
-            b = jnp.asarray(np.stack(
-                [L.int_to_limbs(v) for v in vals_b], axis=1))
-            got = np.asarray(mont_mul_pallas(ctx, a, b))
-            want = np.asarray(L._mont_mul_xla(ctx, a, b))
+            a = np.stack([L.int_to_limbs(v) for v in vals_a], axis=1)
+            b = np.stack([L.int_to_limbs(v) for v in vals_b], axis=1)
+            got = np.asarray(
+                _aot(lambda x, y: mont_mul_pallas(ctx, x, y), a, b))
+            want = np.asarray(
+                _aot(lambda x, y: L._mont_mul_xla(ctx, x, y), a, b))
             ok = ok and np.array_equal(got, want)
         _SELF_CHECK = bool(ok)
         if not ok:  # pragma: no cover - hardware-dependent
