@@ -37,13 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 from . import limbs as L
 from .field import Fel
 
-# lanes per kernel instance; live VMEM ~ (#temps ~15) * 48 * 4B * TILE
+# lanes per kernel instance; live VMEM ~ (#temps ~15) * 48 * 4B * TILE.
+# This is the LARGEST tile tried: the per-signature self-check walks a
+# halving ladder down to MIN_TILE until the kernel fits scoped VMEM
+# (~16 MB on v5e) — a deg-2/3 tower op traces 2-3x the temporaries of
+# deg 1 and OOMs at the deg-1 tile (seen on hardware: the deg-2
+# mixed_add at tile 512 needs 17.3 MB once grid pipelining
+# double-buffers the block inputs).
 LANE_TILE = int(os.environ.get("GROTH16_GROUP_TILE", "512"))
+MIN_TILE = 128
 
 _DISABLED = False          # set on any self-check failure (fail-closed)
 _SUPPRESS = False          # temporarily force the XLA path (self-checks)
-_CHECKED = {}              # signature -> bool (self-check outcome)
+_CHECKED = {}              # signature -> chosen tile (int) | False
 _BUILT = {}                # (cops, op, sig, B, T, interpret) -> callable
+
+
+def _tile_ladder():
+    t, out = LANE_TILE, []
+    while t >= MIN_TILE:
+        out.append(t)
+        t //= 2
+    return out
 
 
 def _interpret() -> bool:
@@ -146,7 +161,7 @@ def _trace_op(cops, op, fels, mask):
     return _flatten_point(R)
 
 
-def _build(cops, op, sig, B):
+def _build(cops, op, sig, B, tile=None):
     """Returns (callable(*input_arrays) -> output arrays, out_bounds).
 
     The formula trace inevitably creates small constant arrays (the
@@ -155,7 +170,7 @@ def _build(cops, op, sig, B):
     hoists them out of the traced jaxpr and they ride into the kernel as
     extra grid-invariant inputs.
     """
-    key = (cops, op, sig, B, _interpret())
+    key = (cops, op, sig, B, tile, _interpret())
     fn = _BUILT.get(key)
     if fn is not None:
         return fn
@@ -164,7 +179,7 @@ def _build(cops, op, sig, B):
     n_args = n_in + int(has_mask)
     n_out = 3 * deg
     interpret = _interpret()
-    T = B if interpret else min(LANE_TILE, B)
+    T = B if interpret else min(tile or LANE_TILE, B)
     assert B % T == 0
     out_bounds = []
 
@@ -240,62 +255,76 @@ def _lift2d(shape):
 
 # -- self-check -----------------------------------------------------------------
 
-def _self_check(cops, op, sig) -> bool:
+def _self_check(cops, op, sig):
     """Kernel output must be limb-identical to the XLA path on random
-    in-bounds operands for this exact signature."""
+    in-bounds operands for this exact signature.
+
+    Returns the chosen lane tile (int) or False.  The check runs at
+    B = 2*tile so the compiled kernel has grid > 1 — grid pipelining
+    double-buffers the block inputs/outputs and is what actually sets
+    the scoped-VMEM high-water mark (a grid=1 check passes and then the
+    production compile OOMs).  Capacity failures walk down the tile
+    ladder; only an exactness MISMATCH fail-closes the whole path.
+    """
     global _DISABLED
     ok = _CHECKED.get((cops, op, sig))
     if ok is not None:
         return ok
-    try:
-        _, deg, in_bounds, has_mask = sig
-        Bc = 128
-        rng = np.random.default_rng(hash(sig) & 0xFFFFFFFF)
-        p = cops.F.p if deg == 1 else cops.F.base.p
-        fels = []
-        for (k, lb) in in_bounds:
-            vals = [int.from_bytes(rng.bytes(96), "little") % (k * p)
-                    for _ in range(Bc)]
-            vals[0] = 0                      # identity/zero lanes
-            vals[1] = k * p - 1              # at the static bound
-            arr = np.stack([L.int_to_limbs(v) for v in vals], axis=1)
-            # numpy on purpose: jnp arrays built under an outer jit
-            # trace are tracers; the check must see concrete values
-            fels.append(Fel(arr, k, lb))
-        mask = None
-        if has_mask:
-            mask = rng.integers(0, 2, size=(1, Bc)).astype(bool)
-        call, out_bounds = _build(cops, op, sig, Bc)
-        args = [f.v for f in fels]
-        if has_mask:
-            args.append(mask.astype(np.uint32))
-        got = [np.asarray(x) for x in _aot_call(call, args)]
+    _, deg, in_bounds, has_mask = sig
+    rng = np.random.default_rng(hash(sig) & 0xFFFFFFFF)
+    p = cops.F.p if deg == 1 else cops.F.base.p
+    last_err = None
+    ok = False
+    for tile in _tile_ladder():
+        Bc = 2 * tile
+        try:
+            fels = []
+            for (k, lb) in in_bounds:
+                vals = [int.from_bytes(rng.bytes(96), "little") % (k * p)
+                        for _ in range(Bc)]
+                vals[0] = 0                      # identity/zero lanes
+                vals[1] = k * p - 1              # at the static bound
+                arr = np.stack([L.int_to_limbs(v) for v in vals], axis=1)
+                # numpy on purpose: jnp arrays built under an outer jit
+                # trace are tracers; the check must see concrete values
+                fels.append(Fel(arr, k, lb))
+            mask = None
+            if has_mask:
+                mask = rng.integers(0, 2, size=(1, Bc)).astype(bool)
+            call, out_bounds = _build(cops, op, sig, Bc, tile)
+            args = [f.v for f in fels]
+            if has_mask:
+                args.append(mask.astype(np.uint32))
+            got = [np.asarray(x) for x in _aot_call(call, args)]
 
-        def ref(*arrs):
-            rf = [Fel(a, k, lb)
-                  for a, (k, lb) in zip(arrs, in_bounds)]
-            rm = (arrs[-1] != 0) if has_mask else None
-            with L.kernel_mul_scope():
-                outs = _trace_op(cops, op, rf, rm)
-            return tuple(o.v for o in outs)
+            def ref(*arrs):
+                rf = [Fel(a, k, lb)
+                      for a, (k, lb) in zip(arrs, in_bounds)]
+                rm = (arrs[-1] != 0) if has_mask else None
+                with L.kernel_mul_scope():
+                    outs = _trace_op(cops, op, rf, rm)
+                return tuple(o.v for o in outs)
 
-        want = [np.asarray(x) for x in _aot_call(ref, args)]
-        ok = all(np.array_equal(g, w) for g, w in zip(got, want))
-        if not ok:  # pragma: no cover - hardware-dependent
+            want = [np.asarray(x) for x in _aot_call(ref, args)]
+            if all(np.array_equal(g, w) for g, w in zip(got, want)):
+                ok = tile
+                break
+            # pragma: no cover - hardware-dependent
             import sys
             print(f"gpu_groth16_prover_3x_tpu: fused {op} group kernel "
                   "self-check MISMATCH; group kernels disabled",
                   file=sys.stderr, flush=True)
             _DISABLED = True
-    except Exception as e:  # pragma: no cover - hardware-dependent
+            ok = False
+            break
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            last_err = e         # capacity/lowering: try a smaller tile
+    if ok is False and not _DISABLED:  # pragma: no cover
         import sys
         print(f"gpu_groth16_prover_3x_tpu: fused {op} group kernel "
-              f"unavailable for {sig!r} ({type(e).__name__}: {e}); "
+              f"unavailable for {sig!r} "
+              f"({type(last_err).__name__}: {last_err}); "
               f"XLA path for this signature", file=sys.stderr, flush=True)
-        # compile/lowering failures are per-signature (a formula variant
-        # may hit an unsupported Mosaic op); only an exactness MISMATCH
-        # above fail-closes the whole group-kernel path
-        ok = False
     _CHECKED[(cops, op, sig)] = ok
     return ok
 
@@ -311,9 +340,12 @@ def _run(cops, op, P, Q_or_xy, q_inf) -> Optional[tuple]:
     fels, mask, B, sig = g
     if B % 128:
         return None
-    if not _self_check(cops, op, sig):
+    tile = _self_check(cops, op, sig)
+    if not tile:
         return None
-    call, out_bounds = _build(cops, op, sig, B)
+    if B % min(tile, B):
+        return None
+    call, out_bounds = _build(cops, op, sig, B, tile)
     full = (L.NUM_LIMBS, B)
     args = [jnp.broadcast_to(f.v, full) for f in fels]
     if mask is not None:
@@ -435,8 +467,7 @@ def maybe_fuse(tag, fn, args):
     if not _enabled():
         return None
     B = args[0].shape[-1]
-    T = B if _interpret() else min(LANE_TILE, B)
-    if B % max(T, 128):
+    if B % 128:
         return None
     for a in args:
         if a.ndim not in (1, 2) or a.shape[-1] != B:
@@ -447,39 +478,53 @@ def maybe_fuse(tag, fn, args):
     if cached is False:
         return None
     if cached is None:
-        try:
-            specs = [(a.shape[0] if a.ndim == 2 else None, a.dtype)
-                     for a in args]
-            run = _fuse_build(fn, specs, T)
-            # self-check: kernel == plain fn on random operands (every op
-            # is a deterministic mod-2^32 integer op, so arbitrary bits
-            # validate the compiled kernel exactly)
-            rng = np.random.default_rng(abs(hash(sig)) & 0xFFFFFFFF)
-            samples = [_rand_like(rng, a.shape[:-1] + (T,), a.dtype)
-                       for a in args]
-            global _SUPPRESS
-            got = _aot_call(run, samples)
-            _SUPPRESS = True         # reference trace: pure XLA path
+        specs = [(a.shape[0] if a.ndim == 2 else None, a.dtype)
+                 for a in args]
+        rng = np.random.default_rng(abs(hash(sig)) & 0xFFFFFFFF)
+        global _SUPPRESS
+        last_err = None
+        # tile ladder: self-check at B = 2*T (grid 2) so the compiled
+        # kernel pays the pipelined double-buffering that sets the real
+        # scoped-VMEM high-water mark; capacity failures retry smaller
+        ladder = [B] if _interpret() else \
+            [t for t in _tile_ladder() if t <= B]
+        for T in ladder:
             try:
-                want = _aot_call(fn, samples)
-            finally:
-                _SUPPRESS = False
-            ok = all(np.array_equal(np.asarray(g), np.asarray(w))
-                     for g, w in zip(got, want))
-            if not ok:  # pragma: no cover - hardware-dependent
-                import sys
-                print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' kernel "
-                      "self-check MISMATCH; inline path", file=sys.stderr,
-                      flush=True)
-                _FUSED[sig] = False
-                return None
-            _FUSED[sig] = run
-            cached = run
-        except Exception as e:  # pragma: no cover - hardware-dependent
+                run = _fuse_build(fn, specs, T)
+                Bc = T if _interpret() else 2 * T
+                samples = [_rand_like(rng, a.shape[:-1] + (Bc,), a.dtype)
+                           for a in args]
+                # self-check: kernel == plain fn on random operands
+                # (every op is a deterministic mod-2^32 integer op, so
+                # arbitrary bits validate the compiled kernel exactly)
+                got = _aot_call(run, samples)
+                _SUPPRESS = True     # reference trace: pure XLA path
+                try:
+                    want = _aot_call(fn, samples)
+                finally:
+                    _SUPPRESS = False
+                ok = all(np.array_equal(np.asarray(g), np.asarray(w))
+                         for g, w in zip(got, want))
+                if not ok:  # pragma: no cover - hardware-dependent
+                    import sys
+                    print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' "
+                          "kernel self-check MISMATCH; inline path",
+                          file=sys.stderr, flush=True)
+                    _FUSED[sig] = False
+                    return None
+                _FUSED[sig] = (run, T)
+                cached = (run, T)
+                break
+            except Exception as e:  # pragma: no cover - hw-dependent
+                last_err = e
+        if cached is None:  # pragma: no cover - hardware-dependent
             import sys
             print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' kernel "
-                  f"unavailable ({type(e).__name__}: {e}); inline path",
-                  file=sys.stderr, flush=True)
+                  f"unavailable ({type(last_err).__name__}: {last_err}); "
+                  "inline path", file=sys.stderr, flush=True)
             _FUSED[sig] = False
             return None
-    return cached(*args)
+    run, T = cached
+    if B < T or B % T:
+        return None
+    return run(*args)

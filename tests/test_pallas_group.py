@@ -103,13 +103,16 @@ def test_dispatch_fallback_logic(monkeypatch):
     with L.kernel_mul_scope():
         assert PG.maybe_dbl(cops, (z, z, z)) is None
 
-    # a broken build disables the feature and never raises
+    # a broken build falls back per-signature and never raises (only an
+    # exactness MISMATCH fail-closes the whole path via _DISABLED)
     def _boom(*a, **k):
         raise RuntimeError("mosaic says no")
     monkeypatch.setattr(PG, "_build", _boom)
     assert PG.maybe_dbl(cops, (z, z, z)) is None
-    assert PG._DISABLED
-    # ...and stays off for subsequent calls
+    assert not PG._DISABLED
+    sig_key = next(k for k in PG._CHECKED if k[1] == "dbl")
+    assert PG._CHECKED[sig_key] is False
+    # ...and stays off for subsequent calls without re-building
     assert PG.maybe_dbl(cops, (z, z, z)) is None
 
 
