@@ -13,14 +13,20 @@ constraints.  Proof inputs are generated once with the device setup tool
 (models/setup_device.py, byte-identical to the host oracle) and cached
 under .bench_cache/ so repeat runs skip generation.
 
+Each leg runs in its OWN SUBPROCESS with one retry: the axon TPU worker
+sporadically crashes mid-run ("TPU worker process crashed or restarted",
+observed round 2/3 — flaky, the identical program passes on rerun), and
+an in-process crash would otherwise take the whole bench down with it.
+
 Env knobs: BENCH_LOG2N (default 20), BENCH_CHUNK (default 64),
 BENCH_REPS (default 3), BENCH_PROOF_LOG2D (default 16; 0 disables the
-proof leg), BENCH_SKIP_PROOF=1.
+proof leg), BENCH_SKIP_PROOF=1, BENCH_INPROCESS=1 (no subprocesses).
 """
 
 import json
 import os
 import random
+import subprocess
 import sys
 import time
 
@@ -117,8 +123,13 @@ def bench_proof() -> dict:
     gen_s = None
     if not (os.path.isfile(params_path) and os.path.isfile(input_path)):
         t0 = time.time()
-        setup_model.generate_parameters(MNT4753, log2d, params_path,
-                                        input_path, seed=0xBE7C)
+        # write-then-rename: a worker crash mid-generation must not leave
+        # truncated files that a retry would mistake for the cache
+        setup_model.generate_parameters(MNT4753, log2d,
+                                        params_path + ".tmp",
+                                        input_path + ".tmp", seed=0xBE7C)
+        os.replace(params_path + ".tmp", params_path)
+        os.replace(input_path + ".tmp", input_path)
         gen_s = round(time.time() - t0, 1)
 
     timer_laps = {}
@@ -154,16 +165,58 @@ def bench_proof() -> dict:
     return out
 
 
+_LEG_MARK = "BENCH_LEG_RESULT "
+
+
+def _run_leg(leg: str, attempts: int = 2, timeout_s: int = 3000):
+    """Run one bench leg in a subprocess; retry on worker crashes.
+
+    Returns the leg's dict, or {"error": ...} after the last attempt.
+    """
+    last = None
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", leg],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in r.stdout.splitlines():
+                if line.startswith(_LEG_MARK):
+                    return json.loads(line[len(_LEG_MARK):])
+            tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
+            last = f"rc={r.returncode} " + " | ".join(tail)[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"timeout after {timeout_s}s"
+        print(f"bench leg {leg} attempt {i + 1} failed: {last}",
+              file=sys.stderr, flush=True)
+    return {"error": str(last)[:400]}
+
+
 def main() -> None:
-    msm = bench_msm()
+    if len(sys.argv) > 2 and sys.argv[1] == "--leg":
+        fn = {"msm": bench_msm, "proof": bench_proof}[sys.argv[2]]
+        print(_LEG_MARK + json.dumps(fn()), flush=True)
+        return
+
+    inproc = bool(os.environ.get("BENCH_INPROCESS"))
+    msm = bench_msm() if inproc else _run_leg("msm")
+    if "error" in msm:  # subprocess path failed twice: last-ditch inproc
+        msm = bench_msm()
     detail = dict(msm)
 
     if not os.environ.get("BENCH_SKIP_PROOF") and \
             int(os.environ.get("BENCH_PROOF_LOG2D", "16")):
-        try:
-            detail["proof"] = bench_proof()
-        except Exception as e:  # pragma: no cover - report, don't fail
-            detail["proof_error"] = f"{type(e).__name__}: {e}"[:300]
+        if inproc:
+            try:
+                detail["proof"] = bench_proof()
+            except Exception as e:  # pragma: no cover
+                detail["proof_error"] = f"{type(e).__name__}: {e}"[:300]
+        else:
+            proof = _run_leg("proof", timeout_s=4800)
+            if "error" in proof:
+                detail["proof_error"] = proof["error"]
+            else:
+                detail["proof"] = proof
 
     pps = msm["points_per_sec"]
     vs = pps / BASELINE_POINTS_PER_SEC if BASELINE_POINTS_PER_SEC else 1.0

@@ -165,9 +165,23 @@ def _from_monty_keys(fr_ops, mont_rows: np.ndarray) -> jnp.ndarray:
     return L.cond_sub_kp(fr_ops.ctx, fr_ops.mul(x, Fel(one_std, 1)).v, 1)
 
 
+def _pad_quantum(chunk_s: int) -> int:
+    """Row-count quantum for MSM padding.
+
+    The window scan's lane batch is B = n/chunk_s; padding n to a
+    multiple of chunk_s*128 makes B tile by 128 lanes, which the fused
+    Pallas scan-step kernel (ops/pallas_group.maybe_fuse) requires.
+    Padding rows are infinity points with zero keys — exact no-ops.
+    CPU runs (tests/oracle parity) keep the small quantum: tiny cases
+    would otherwise inflate 100x.
+    """
+    return chunk_s if L._cpu_backend() else chunk_s * 128
+
+
 def _pad_to_chunks(arr: np.ndarray, chunk_s: int) -> np.ndarray:
+    q = _pad_quantum(chunk_s)
     n = arr.shape[0]
-    n_pad = max(chunk_s, ((n + chunk_s - 1) // chunk_s) * chunk_s)
+    n_pad = max(q, ((n + q - 1) // q) * q)
     return pad_rows(arr, n_pad)
 
 
@@ -245,7 +259,8 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         # Pippenger kernel while B1/B2/L ride the digit-indexed tables
         g1_rows_np = np.concatenate([params.A[:m + 1], params.H[:d]])
         n_tot = g1_rows_np.shape[0]
-        n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
+        q = _pad_quantum(chunk_s)
+        n_pad = ((n_tot + q - 1) // q) * q
         g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
         g1_keys = jnp.concatenate([
             w_keys[:, :m + 1], h_std[:, :d],
@@ -283,7 +298,8 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
             params.H[:d]])
         n_tot = g1_rows_np.shape[0]
-        n_pad = ((n_tot + chunk_s - 1) // chunk_s) * chunk_s
+        q = _pad_quantum(chunk_s)
+        n_pad = ((n_tot + q - 1) // q) * q
         g1_keys_np = np.concatenate([
             np.asarray(w_keys[:, :m + 1]), np.asarray(w_keys[:, :m + 1]),
             np.asarray(w_keys[:, pi1:pi1 + nL]), np.asarray(h_std[:, :d]),
@@ -306,7 +322,7 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             seg_np, 4, block_points, signed=signed)
 
         n2 = m + 1
-        n2_pad = ((n2 + chunk_s - 1) // chunk_s) * chunk_s
+        n2_pad = ((n2 + q - 1) // q) * q
         ws_B2 = msm_window_sums_streamed(
             g2, np.asarray(_pad_keys(w_keys[:, :n2], n2_pad)),
             pad_rows(params.B2[:n2], n2_pad), chunk_s, c, None, 1,

@@ -169,15 +169,23 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
     NT_sort = num_msms * SEG_SPAN      # sort-key span per window
     F3 = 3 * deg * L.NUM_LIMBS
 
-    def unpack_affine(block, batch):
-        """(ncoef*48, *batch) u32 -> (x, y) field elements + inf mask."""
+    def unpack_affine(block, batch=None):
+        """(ncoef*48, *batch) u32 -> (x, y) field elements + inf mask.
+
+        `batch` defaults to the block's own trailing shape so the trace
+        is batch-size-polymorphic — pallas_group.maybe_fuse re-traces
+        step_core at lane-tile width, not the full scan width."""
+        if batch is None:
+            batch = block.shape[1:]
         cs = block.reshape((ncoef, L.NUM_LIMBS) + batch)
         x = F.from_arrays(tuple(cs[i] for i in range(deg)), 1)
         y = F.from_arrays(tuple(cs[deg + i] for i in range(deg)), 1)
         inf = F.is_zero(y)  # (1, *batch)
         return x, y, inf
 
-    def lift(block, batch, sign=None):
+    def lift(block, batch=None, sign=None):
+        if batch is None:
+            batch = block.shape[1:]
         x, y, inf = unpack_affine(block, batch)
         one = F.one(batch)
         zero = F.zero(batch)
@@ -209,6 +217,16 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         ident_arrs = cops.to_arrays(cops.zero(batch))
 
         order = jnp.argsort(keys_grp, axis=-1)               # (wb, n)
+        import os as _os
+        if _os.environ.get("GROTH16_MSM_SORT_ONLY"):
+            # profiling knob: run only the argsort + gather, return junk
+            # tables carrying a data checksum (defeats DCE)
+            s = (jnp.take_along_axis(keys_grp, order, axis=-1)
+                 .astype(jnp.uint32).sum()
+                 + jnp.take(points_rows, order, axis=0)
+                 .astype(jnp.uint32).sum()).astype(jnp.uint16)
+            return (jnp.broadcast_to(jnp.asarray(ident_row_np),
+                                     (wb * NT, F3)) + s)
         ks = jnp.take_along_axis(keys_grp, order, axis=-1) \
                 .reshape(B, S)
         pts = jnp.take(points_rows, order, axis=0)           # (wb, n, F)
@@ -251,7 +269,7 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             block = arrs[2 * n_acc + 3]
             sj = arrs[2 * n_acc + 4] if signed_xs else None
             acc = cops.from_arrays(accA)
-            lifted, (x, y, inf) = lift(block, batch, sj)
+            lifted, (x, y, inf) = lift(block, None, sj)
             summ = cops.mixed_add(acc, x, y, q_inf=inf)
             same = (kj == prevk)[None]
             new_acc = cops.select(same, summ, lifted)
@@ -274,7 +292,8 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             from . import pallas_group as PG
             args = (tuple(accA) + tuple(firstA) + (prevk, haschg, kj, block)
                     + ((sj,) if signed_xs else ()))
-            out = PG.maybe_fuse("msm_scan_step", step_core, args)
+            out = PG.maybe_fuse("msm_scan_step", step_core, args,
+                                key=(cops, signed_xs))
             if out is None:
                 out = step_core(*args)
             new_accA = out[:n_acc]
@@ -784,7 +803,10 @@ def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
                                None if seg_ids_np is None
                                else jnp.asarray(seg_ids_np), num_msms,
                                signed=signed)
-    B = ((min(block_points, n) + chunk_s - 1) // chunk_s) * chunk_s
+    # block size quantized so the scan batch tiles by 128 lanes off-CPU
+    # (the fused Pallas scan-step kernel requirement; see tpu_prover)
+    q = chunk_s if L._cpu_backend() else chunk_s * 128
+    B = ((min(block_points, n) + q - 1) // q) * q
     scalar_limbs = np.asarray(scalar_limbs)
     if seg_ids_np is None:
         seg_ids_np = np.zeros((n,), np.int32)

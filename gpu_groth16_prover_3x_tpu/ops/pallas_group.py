@@ -58,7 +58,22 @@ def _tile_ladder():
     while t >= MIN_TILE:
         out.append(t)
         t //= 2
+    if not out:
+        # sub-128 GROTH16_GROUP_TILE override: try it as-is rather than
+        # silently disabling every kernel with an empty ladder
+        out.append(LANE_TILE)
     return out
+
+
+def _fit_tile(tile: int, B: int):
+    """Largest capacity-safe tile <= the validated `tile` that divides B.
+
+    Any tile smaller than a validated one fits VMEM (same trace, smaller
+    blocks), so shrinking for divisibility needs no re-validation."""
+    t = min(tile, B)
+    while t > 1 and B % t:
+        t //= 2
+    return t if t > 0 and B % t == 0 else None
 
 
 def _interpret() -> bool:
@@ -343,7 +358,8 @@ def _run(cops, op, P, Q_or_xy, q_inf) -> Optional[tuple]:
     tile = _self_check(cops, op, sig)
     if not tile:
         return None
-    if B % min(tile, B):
+    tile = _fit_tile(tile, B)
+    if not tile:
         return None
     call, out_bounds = _build(cops, op, sig, B, tile)
     full = (L.NUM_LIMBS, B)
@@ -378,7 +394,8 @@ def maybe_dbl(cops, P):
 # step.  Same machinery as the group kernels: jaxpr const hoisting, a
 # per-signature exactness self-check, fail-closed to plain fn.
 
-_FUSED = {}       # (tag, per-arg (rank, rows, dtype)) -> run | False
+_FUSED = {}       # (tag, per-arg (rank, rows, dtype)) -> max validated tile | False
+_FUSE_RUNS = {}   # (sig, tile) -> compiled runner
 
 
 def _rand_like(rng, shape, dtype):
@@ -456,13 +473,19 @@ def _fuse_build(fn, arg_specs, T):
     return run
 
 
-def maybe_fuse(tag, fn, args):
+def maybe_fuse(tag, fn, args, key=None):
     """fn(*args) as one Pallas kernel, or None (caller runs fn inline).
 
     args: arrays with the batch on the LAST axis (rank 1 or 2), all the
     same batch size B; B must tile by LANE_TILE.  fn must be a pure jnp
     function of the arrays alone (anything else it closes over must be
     a Python/numpy constant — jaxpr consts are hoisted automatically).
+
+    `key`: hashable identity of everything fn's TRACE depends on beyond
+    the arg shapes (e.g. the CurveOps whose moduli ride in as consts).
+    Two calls with the same (tag, key) and arg signature share one
+    validated kernel; omitting a distinguishing key would silently reuse
+    another config's constants.
     """
     if not _enabled():
         return None
@@ -472,14 +495,14 @@ def maybe_fuse(tag, fn, args):
     for a in args:
         if a.ndim not in (1, 2) or a.shape[-1] != B:
             return None
-    sig = (tag, tuple((a.ndim, a.shape[0] if a.ndim == 2 else None,
-                       str(a.dtype)) for a in args))
-    cached = _FUSED.get(sig)
-    if cached is False:
+    sig = (tag, key, tuple((a.ndim, a.shape[0] if a.ndim == 2 else None,
+                            str(a.dtype)) for a in args))
+    specs = [(a.shape[0] if a.ndim == 2 else None, a.dtype)
+             for a in args]
+    tile = _FUSED.get(sig)
+    if tile is False:
         return None
-    if cached is None:
-        specs = [(a.shape[0] if a.ndim == 2 else None, a.dtype)
-                 for a in args]
+    if tile is None:
         rng = np.random.default_rng(abs(hash(sig)) & 0xFFFFFFFF)
         global _SUPPRESS
         last_err = None
@@ -512,19 +535,24 @@ def maybe_fuse(tag, fn, args):
                           file=sys.stderr, flush=True)
                     _FUSED[sig] = False
                     return None
-                _FUSED[sig] = (run, T)
-                cached = (run, T)
+                tile = _FUSED[sig] = T
+                _FUSE_RUNS[(sig, T)] = run
                 break
             except Exception as e:  # pragma: no cover - hw-dependent
                 last_err = e
-        if cached is None:  # pragma: no cover - hardware-dependent
+        if tile is None:  # pragma: no cover - hardware-dependent
             import sys
             print(f"gpu_groth16_prover_3x_tpu: fused '{tag}' kernel "
                   f"unavailable ({type(last_err).__name__}: {last_err}); "
                   "inline path", file=sys.stderr, flush=True)
             _FUSED[sig] = False
             return None
-    run, T = cached
-    if B < T or B % T:
+    # per-call tile fit: a later batch need not be a multiple of the
+    # validated tile — shrink to the largest divisor (capacity-safe)
+    T = B if _interpret() else _fit_tile(tile, B)
+    if not T or T < MIN_TILE // 2:
         return None
+    run = _FUSE_RUNS.get((sig, T))
+    if run is None:
+        run = _FUSE_RUNS[(sig, T)] = _fuse_build(fn, specs, T)
     return run(*args)
