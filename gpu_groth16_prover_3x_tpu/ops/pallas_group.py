@@ -44,7 +44,15 @@ from .field import Fel
 # deg 1 and OOMs at the deg-1 tile (seen on hardware: the deg-2
 # mixed_add at tile 512 needs 17.3 MB once grid pipelining
 # double-buffers the block inputs).
-LANE_TILE = int(os.environ.get("GROTH16_GROUP_TILE", "512"))
+#
+# Default 128 (one lane-tile): measured on v5e (round 3, 2^20 G1 MSM,
+# .scratch/sweep*.log) the whole-MSM rate rises monotonically as the
+# tile shrinks — 73.0k pps @1024, 75.5k @512, 88.2k @256, 108.5k @128
+# points/sec — the ~20 live (48, T) temporaries blow the vector register
+# file at big tiles and Mosaic spills to VMEM, while at 128 lanes more
+# of the formula stays register-resident and the deeper grid still
+# pipelines.  Compile time also drops ~2.5x at 128.
+LANE_TILE = int(os.environ.get("GROTH16_GROUP_TILE", "128"))
 MIN_TILE = 128
 
 _DISABLED = False          # set on any self-check failure (fail-closed)
