@@ -123,6 +123,9 @@ def bench_proof() -> dict:
     gen_s = None
     if not (os.path.isfile(params_path) and os.path.isfile(input_path)):
         t0 = time.time()
+        # per-query exponentiation checkpoints: retries after a flaky
+        # worker crash resume instead of restarting the five exp scans
+        os.environ.setdefault("GROTH16_SETUP_CACHE", cache)
         # write-then-rename: a worker crash mid-generation must not leave
         # truncated files that a retry would mistake for the cache
         setup_model.generate_parameters(MNT4753, log2d,
@@ -212,7 +215,7 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 detail["proof_error"] = f"{type(e).__name__}: {e}"[:300]
         else:
-            proof = _run_leg("proof", timeout_s=4800)
+            proof = _run_leg("proof", attempts=4, timeout_s=4800)
             if "error" in proof:
                 detail["proof_error"] = proof["error"]
             else:

@@ -62,6 +62,27 @@ def _exp_scan(cops, x2, y2, bits):
     return out
 
 
+def _exp_cache_path(curve, group, base_aff, scalars):
+    """Per-query checkpoint path under $GROTH16_SETUP_CACHE (or None).
+
+    The axon TPU worker crashes sporadically mid-run (BASELINE.md round-3
+    findings); a 2^16+ setup runs five multi-minute exponentiation scans,
+    so without checkpoints a crash-retry loop restarts from zero and may
+    never win the race.  Keyed by a digest of (curve, group, base,
+    scalars) so any change invalidates; written atomically.
+    """
+    import hashlib
+    import os
+    d = os.environ.get("GROTH16_SETUP_CACHE")
+    if not d:
+        return None
+    os.makedirs(d, exist_ok=True)
+    h = hashlib.sha256(repr(
+        (curve.name, group, base_aff, len(scalars), tuple(scalars))
+    ).encode()).hexdigest()[:24]
+    return os.path.join(d, f"exp-{curve.name}-{group}-{h}.json")
+
+
 def batch_exp_device(curve: CurveParams, group: str, base_pt,
                      scalars: Sequence[int]) -> List:
     """scalars * base (host Jacobian base point) -> host affine points.
@@ -78,6 +99,18 @@ def batch_exp_device(curve: CurveParams, group: str, base_pt,
     n = len(scalars)
 
     bx, by = hg.to_affine(base_pt)
+
+    import json as _json
+    import os as _os
+    cache_path = _exp_cache_path(curve, group, (bx, by), scalars)
+    if cache_path and _os.path.isfile(cache_path):
+        with open(cache_path) as f:
+            loaded = _json.load(f)
+
+        def untup(v):
+            return tuple(v) if isinstance(v, list) else v
+        return [(untup(x), untup(y)) for x, y in loaded]
+
     if deg == 1:
         x2 = Fel(jnp.asarray(L.int_to_limbs(bx * R % p)[:, None]), 1)
         y2 = Fel(jnp.asarray(L.int_to_limbs(by * R % p)[:, None]), 1)
@@ -105,9 +138,10 @@ def batch_exp_device(curve: CurveParams, group: str, base_pt,
                                      mont_rows[2], p)
         xs = native.mont_decode(ox, p)
         ys = native.mont_decode(oy, p)
-        return [(int.from_bytes(x.tobytes(), "little"),
-                 int.from_bytes(y.tobytes(), "little"))
-                for x, y in zip(xs, ys)]
+        out = [(int.from_bytes(x.tobytes(), "little"),
+                int.from_bytes(y.tobytes(), "little"))
+               for x, y in zip(xs, ys)]
+        return _exp_cache_save(cache_path, out)
 
     def coord(idx):
         cols = []
@@ -128,6 +162,17 @@ def batch_exp_device(curve: CurveParams, group: str, base_pt,
             continue
         zi = HF.e_inv(z, p, alpha)
         out.append((HF.e_mul(x, zi, p, alpha), HF.e_mul(y, zi, p, alpha)))
+    return _exp_cache_save(cache_path, out)
+
+
+def _exp_cache_save(cache_path, out):
+    if cache_path:
+        import json as _json
+        import os as _os
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(out, f)
+        _os.replace(tmp, cache_path)
     return out
 
 
