@@ -111,6 +111,18 @@ def batch_exp_device(curve: CurveParams, group: str, base_pt,
             return tuple(v) if isinstance(v, list) else v
         return [(untup(x), untup(y)) for x, y in loaded]
 
+    # checkpointed runs: big queries proceed in blocks so a mid-query
+    # worker crash loses at most one block's work on retry (a whole
+    # 2^16 query is ~10 device-minutes — observed round 3, crashes can
+    # recur faster than that)
+    blk = int(_os.environ.get("GROTH16_EXP_BLOCK", 16384))
+    if cache_path and n > blk:
+        out = []
+        for lo in range(0, n, blk):
+            out.extend(batch_exp_device(curve, group, base_pt,
+                                        scalars[lo:lo + blk]))
+        return _exp_cache_save(cache_path, out)
+
     if deg == 1:
         x2 = Fel(jnp.asarray(L.int_to_limbs(bx * R % p)[:, None]), 1)
         y2 = Fel(jnp.asarray(L.int_to_limbs(by * R % p)[:, None]), 1)

@@ -28,3 +28,25 @@ def test_setup_device_matches_host():
     assert res_d.H == res_h.H
     assert res_d.w == res_h.w and res_d.r == res_h.r
     assert (res_d.ca, res_d.cb, res_d.cc) == (res_h.ca, res_h.cb, res_h.cc)
+
+
+def test_batch_exp_block_checkpoint_cache(tmp_path, monkeypatch):
+    """Blocked + checkpointed exponentiation == the direct run, and a
+    cache-warm rerun is byte-identical (the crash-resume path the gate
+    and bench generation rely on, BASELINE.md round-3 findings)."""
+    from gpu_groth16_prover_3x_tpu.host import ec as host_ec
+
+    rng = random.Random(0xB10C)
+    scalars = [rng.randrange(MNT4753.fr.p) for _ in range(40)]
+    gen = host_ec.g1_generator(MNT4753)
+
+    want = setup_device.batch_exp_device(MNT4753, "g1", gen, scalars)
+
+    monkeypatch.setenv("GROTH16_SETUP_CACHE", str(tmp_path))
+    monkeypatch.setenv("GROTH16_EXP_BLOCK", "16")  # 40 -> 3 blocks
+    got_cold = setup_device.batch_exp_device(MNT4753, "g1", gen, scalars)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 4  # 3 block checkpoints + the whole-query entry
+    got_warm = setup_device.batch_exp_device(MNT4753, "g1", gen, scalars)
+    assert got_cold == want
+    assert got_warm == want
