@@ -54,6 +54,19 @@ from .field import Fel
 # pipelines.  Compile time also drops ~2.5x at 128.
 LANE_TILE = int(os.environ.get("GROTH16_GROUP_TILE", "128"))
 MIN_TILE = 128
+# scoped-VMEM ceiling for the fused kernels: the default 16 MB rejects
+# the deg-3 (MNT6753 G2) scan-step kernel by ~6% (seen on v5e) and
+# forces its whole MSM onto the ~2.7x slower inline path; v5e has
+# 128 MB of physical VMEM, so grant a generous slice
+VMEM_LIMIT = int(os.environ.get("GROTH16_VMEM_LIMIT", str(96 * 1024 * 1024)))
+
+
+def _compiler_params():
+    try:
+        from jax.experimental.pallas import tpu as _pltpu
+        return _pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    except Exception:   # pragma: no cover - API drift safety
+        return None
 
 _DISABLED = False          # set on any self-check failure (fail-closed)
 _SUPPRESS = False          # temporarily force the XLA path (self-checks)
@@ -250,6 +263,7 @@ def _build(cops, op, sig, B, tile=None):
     for c in consts2d:
         in_specs.append(pl.BlockSpec(
             c.shape, (lambda i: (0, 0)), memory_space=ms))
+    cp = None if interpret else _compiler_params()
     call = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((L.NUM_LIMBS, B), jnp.uint32)
@@ -258,6 +272,7 @@ def _build(cops, op, sig, B, tile=None):
         in_specs=in_specs,
         out_specs=[spec] * n_out,
         interpret=interpret,
+        **({"compiler_params": cp} if cp is not None else {}),
     )
 
     def run(*arrays):
@@ -469,10 +484,12 @@ def _fuse_build(fn, arg_specs, T):
                          for a in out_avals]
             out_specs = [pl.BlockSpec((a.shape[0], T), lambda i: (0, i),
                                       memory_space=ms) for a in out_avals]
+            cp = None if interpret else _compiler_params()
             call = calls[B] = pl.pallas_call(
                 kernel, out_shape=out_shape, grid=(B // T,),
                 in_specs=in_specs, out_specs=out_specs,
-                interpret=interpret)
+                interpret=interpret,
+                **({"compiler_params": cp} if cp is not None else {}))
         arrs2d = [a[None] if a.ndim == 1 else a for a in arrays]
         outs = call(*arrs2d, *consts2d)
         return tuple(o[0] if r == 1 else o

@@ -92,6 +92,15 @@ def _build(p: int, ninv16: int, batch: int, interpret: bool):
     spec = pl.BlockSpec((L.NUM_LIMBS, T), lambda i: (0, i),
                         memory_space=pl.ANY if interpret else pltpu.VMEM)
 
+    extra = {}
+    if not interpret:
+        try:
+            from .pallas_group import _compiler_params
+            cp = _compiler_params()
+            if cp is not None:
+                extra["compiler_params"] = cp
+        except Exception:  # pragma: no cover - API drift safety
+            pass
     fn = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((L.NUM_LIMBS, batch), jnp.uint32),
@@ -99,6 +108,7 @@ def _build(p: int, ninv16: int, batch: int, interpret: bool):
         in_specs=[spec, spec],
         out_specs=spec,
         interpret=interpret,
+        **extra,
     )
     return jax.jit(fn)
 
