@@ -135,23 +135,13 @@ def bench_proof() -> dict:
         os.replace(input_path + ".tmp", input_path)
         gen_s = round(time.time() - t0, 1)
 
-    timer_laps = {}
-    orig_cls = profiling.PhaseTimer
+    t0 = time.time()
+    tpu_prover.prove_files(MNT4753, params_path, input_path, output_path)
+    total = time.time() - t0
 
-    class _CaptureTimer(orig_cls):
-        def __init__(self):
-            super().__init__()
-            timer_laps["laps"] = self.laps
-
-    profiling.PhaseTimer = _CaptureTimer
-    try:
-        t0 = time.time()
-        tpu_prover.prove_files(MNT4753, params_path, input_path, output_path)
-        total = time.time() - t0
-    finally:
-        profiling.PhaseTimer = orig_cls
-
-    # second run: steady-state latency (jit caches warm)
+    # second run: steady-state latency (jit caches warm); its per-block
+    # laps are the prover's phase breakdown (print_time parity)
+    profiling.clear_laps()
     t0 = time.time()
     tpu_prover.prove_files(MNT4753, params_path, input_path, output_path)
     warm = time.time() - t0
@@ -161,7 +151,7 @@ def bench_proof() -> dict:
         "cold_s": round(total, 2),
         "warm_s": round(warm, 2),
         "phases": {k: round(v, 3) for k, v in
-                   timer_laps.get("laps", {}).items()},
+                   profiling.last_laps().items()},
     }
     if gen_s is not None:
         out["param_gen_s"] = gen_s

@@ -442,6 +442,47 @@ void g16_msm(u64 *out, const u64 *pts, const u64 *scalars, long long n,
     delete[] buckets;
 }
 
+// Window-sum Horner epilogue for the device prover: wsums holds nwin
+// HOMOGENEOUS-projective (X:Y:Z) Montgomery rows (the device MSM's
+// per-window sums, zero encoded as Z == 0); computes
+//   res = sum_w 2^(cbits*w) * W_w
+// by top-down Horner (cbits doublings + one add per window — the same
+// recombination the reference performs on the CPU after reading back
+// per-stream results, cuda_prover_piecewise.cu:188-200) and writes a
+// JACOBIAN Montgomery point.  Projective -> Jacobian via
+// (X, Y, Z) -> (X*Z, Y*Z^2, Z): x/z^2 = X/Z and y/z^3 = Y/Z.
+void g16_horner_proj(u64 *out, const u64 *wsums, int nwin, int cbits,
+                     int deg, const u64 *p, u64 inv, const u64 *alpha,
+                     const u64 *a_coef) {
+    u64 mont_one[NL];
+    compute_mont_one(p, mont_one);
+    Ectx e{{p, inv, deg, alpha}, a_coef, mont_one};
+    const int D = deg * NL, PSZ = 3 * D;
+    u64 *jac = new u64[(long long)nwin * PSZ];
+    u64 zz[MAXDEG * NL];
+    for (int w = 0; w < nwin; ++w) {
+        const u64 *X = wsums + (long long)w * PSZ;
+        const u64 *Y = X + D, *Z = Y + D;
+        u64 *o = jac + (long long)w * PSZ;
+        if (blk_is_zero(Z, deg)) {
+            std::memset(o, 0, PSZ * sizeof(u64));
+        } else {
+            fe_mul(e.f, o, X, Z);
+            fe_mul(e.f, zz, Z, Z);
+            fe_mul(e.f, o + D, Y, zz);
+            cp(o + 2 * D, Z, deg);
+        }
+    }
+    u64 res[3 * MAXDEG * NL];
+    cp(res, jac + (long long)(nwin - 1) * PSZ, 3 * deg);
+    for (int w = nwin - 2; w >= 0; --w) {
+        for (int k = 0; k < cbits; ++k) ec_dbl(e, res, res);
+        ec_add(e, res, res, jac + (long long)w * PSZ);
+    }
+    cp(out, res, 3 * deg);
+    delete[] jac;
+}
+
 // Fixed-base windowed batch exponentiation (multiexp.tcc:547-680, the
 // trusted-setup path): out[i] = scalars[i] * base, n Jacobian results.
 void g16_fixed_base_batch(u64 *out, const u64 *base, const u64 *scalars,

@@ -34,7 +34,8 @@ from ..curves.constants import CurveParams
 from ..host import ec as host_ec
 from ..ops import limbs as L
 from ..ops.field import Fel
-from ..ops.msm import (DEFAULT_CHUNK, finalize_msm, msm_window_sums,
+from ..ops.msm import (DEFAULT_CHUNK, finalize_msm,
+                       finalize_windows_native, msm_window_sums,
                        msm_window_sums_streamed, pad_rows,
                        window_sums_to_host)
 from ..ops.ntt import compute_h_device, get_plan
@@ -279,15 +280,22 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         leave_block("MSMs (device: Straus tables + Pippenger A/H)")
 
         enter_block("readback + host assembly")
-        g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
-        At = finalize_msm(hg1, g1_pts[0], c)
-        Ht = finalize_msm(hg1, g1_pts[1], c)
-        Bt1 = finalize_msm(
-            hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
-        Lt = finalize_msm(
-            hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
-        Bt2 = finalize_msm(
-            hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
+        res2 = finalize_windows_native(g1, hg1, ws_g1, p, c, 2)
+        if res2 is not None:
+            At, Ht = res2
+            Bt1 = finalize_windows_native(g1, hg1, ws_B1, p, STRAUS_C)
+            Lt = finalize_windows_native(g1, hg1, ws_L, p, STRAUS_C)
+            Bt2 = finalize_windows_native(g2, hg2, ws_B2, p, STRAUS_C)
+        else:   # pure-python epilogue (no native toolchain)
+            g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
+            At = finalize_msm(hg1, g1_pts[0], c)
+            Ht = finalize_msm(hg1, g1_pts[1], c)
+            Bt1 = finalize_msm(
+                hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
+            Lt = finalize_msm(
+                hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
+            Bt2 = finalize_msm(
+                hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
     else:
         enter_block("MSMs (device Pippenger)")
         # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1,
@@ -330,12 +338,18 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         leave_block("MSMs (device Pippenger)")
 
         enter_block("readback + host assembly")
-        g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=4)
-        At = finalize_msm(hg1, g1_pts[0], c)
-        Bt1 = finalize_msm(hg1, g1_pts[1], c)
-        Lt = finalize_msm(hg1, g1_pts[2], c)
-        Ht = finalize_msm(hg1, g1_pts[3], c)
-        Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, p), c)
+        res4 = finalize_windows_native(g1, hg1, ws_g1, p, c, 4)
+        if res4 is not None:
+            At, Bt1, Lt, Ht = res4
+        else:   # pure-python epilogue (no native toolchain)
+            g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=4)
+            At = finalize_msm(hg1, g1_pts[0], c)
+            Bt1 = finalize_msm(hg1, g1_pts[1], c)
+            Lt = finalize_msm(hg1, g1_pts[2], c)
+            Ht = finalize_msm(hg1, g1_pts[3], c)
+        Bt2 = finalize_windows_native(g2, hg2, ws_B2, p, c, 1)
+        if Bt2 is None:
+            Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, p), c)
 
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))

@@ -827,6 +827,44 @@ def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
 
 # -- host finalization ----------------------------------------------------------
 
+def finalize_windows_native(cops: CurveOps, host_group, ws, p: int,
+                            cbits: int, num_msms: int = 1):
+    """Native-epilogue finalize: device window sums -> per-MSM host
+    Jacobian points via csrc g16_horner_proj (proj->jac conversion +
+    cbits-doubling Horner in C).  Returns a list of points (or a single
+    point when num_msms == 1), or None when the native library is
+    unavailable (callers fall back to window_sums_to_host+finalize_msm).
+
+    The pure-python epilogue was ~12 s of a warm 26 s 2^16 proof
+    (BENCH_r03 phases); native it is milliseconds.
+    """
+    from ..utils import native
+    from ..utils import serialization as ser
+    if not native.available():
+        return None
+    deg = cops.F.deg
+    ctx = cops.F.ctx if deg == 1 else cops.F.base.ctx
+    nwin = int(jnp.asarray(ws[0]).shape[0])
+    # canonicalize below p on device (same move as window_sums_to_host)
+    arrs = [np.asarray(L.to_canonical(
+        ctx,
+        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(L.NUM_LIMBS, -1),
+        cops.coord_k)).reshape(L.NUM_LIMBS, nwin, num_msms)
+        for a in ws]                     # 3*deg x (48, nwin, M)
+    out = []
+    for m in range(num_msms):
+        rows = np.empty((nwin, 3 * deg * 12), dtype=np.uint64)
+        for ci, a in enumerate(arrs):
+            rows[:, ci * 12:(ci + 1) * 12] = ser.u16x48_to_u64(
+                np.ascontiguousarray(a[:, :, m].T))
+        pt = native.horner_proj(p, deg, host_group.alpha, host_group.a,
+                                rows, cbits)
+        if pt is None:
+            return None
+        out.append(pt)
+    return out if num_msms > 1 else out[0]
+
+
 def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
     """Stacked device window sums (nwin, 48, num_msms) -> per-MSM lists of
     host projective points: out[msm][window]."""

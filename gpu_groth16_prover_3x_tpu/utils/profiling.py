@@ -12,6 +12,17 @@ from contextlib import contextmanager
 
 _enabled = True
 _stack = []
+_last_laps = {}    # most recent duration per block name (see last_laps)
+
+
+def last_laps() -> dict:
+    """Most recent wall time per block label (top-level phase breakdown
+    for harnesses — bench.py records the prover's phase split from it)."""
+    return dict(_last_laps)
+
+
+def clear_laps() -> None:
+    _last_laps.clear()
 
 
 def set_profiling_enabled(flag: bool) -> None:
@@ -32,8 +43,9 @@ def enter_block(name: str) -> None:
 def leave_block(name: str) -> None:
     top, start = _stack.pop()
     assert top == name, f"unbalanced blocks: {top} vs {name}"
+    dt = time.perf_counter() - start
+    _last_laps[name] = dt
     if _enabled:
-        dt = time.perf_counter() - start
         print(f"{_indent()}(leave) {name} [{dt:.4f}s]",
               file=sys.stderr, flush=True)
 

@@ -58,3 +58,54 @@ def test_batch_affine(rng):
         else:
             zi = pow(z, -1, p)
             assert gx == x * zi % p and gy == y * zi % p
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_horner_proj_matches_python_finalize(group, rng):
+    """Native window-sum Horner epilogue == the python finalize path
+    (the device prover's readback hot spot, BENCH_r03 phases)."""
+    from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
+    from gpu_groth16_prover_3x_tpu.host import ec as host_ec
+
+    curve = MNT4753
+    hg = (host_ec.g1_group(curve) if group == "g1"
+          else host_ec.g2_group(curve))
+    gen = (host_ec.g1_generator(curve) if group == "g1"
+           else host_ec.g2_generator(curve))
+    p, deg = curve.fq.p, hg.deg
+    nwin, cbits = 7, 5
+    rinv = pow(R, -1, p)
+
+    # random projective window sums (X:Y:Z) = random Z-scalings of real
+    # points, plus one infinity row (Z == 0)
+    rows = np.zeros((nwin, 3 * deg * 12), dtype=np.uint64)
+    want_pts = []
+    for w in range(nwin):
+        if w == 3:
+            want_pts.append(hg.zero)
+            continue  # row stays zero (Z == 0)
+        jpt = hg.mul(rng.randrange(1, 1 << 40), gen)
+        ax, ay = hg.to_affine(jpt)
+        z = rng.randrange(1, p)
+        if deg == 1:
+            coords = [ax * z % p, ay * z % p, z]
+        else:
+            from gpu_groth16_prover_3x_tpu.host import field as HF
+            zs = tuple([z] + [0] * (deg - 1))
+            coords = list(HF.e_mul(ax, zs, p, hg.alpha)) + \
+                list(HF.e_mul(ay, zs, p, hg.alpha)) + list(zs)
+            coords = [c for c in coords]
+        flat = []
+        for c in coords:
+            flat.append(c)
+        for ci, v in enumerate(flat):
+            rows[w, ci * 12:(ci + 1) * 12] = _limbs(v * R % p)
+        want_pts.append(jpt)
+    got = native.horner_proj(p, deg, hg.alpha, hg.a, rows, cbits)
+    assert got is not None
+    acc = hg.zero
+    for w in range(nwin - 1, -1, -1):
+        for _ in range(cbits):
+            acc = hg.dbl(acc)
+        acc = hg.add(acc, want_pts[w])
+    assert hg.equal(got, acc)
