@@ -193,8 +193,11 @@ def main() -> None:
 
     inproc = bool(os.environ.get("BENCH_INPROCESS"))
     msm = bench_msm() if inproc else _run_leg("msm")
-    if "error" in msm:  # subprocess path failed twice: last-ditch inproc
-        msm = bench_msm()
+    if "error" in msm:
+        # one more subprocess attempt — NOT in-process: on single-client
+        # TPU runtimes an in-process fallback would hold the device and
+        # starve the proof-leg subprocesses below
+        msm = _run_leg("msm", attempts=1)
     detail = dict(msm)
 
     if not os.environ.get("BENCH_SKIP_PROOF") and \
@@ -210,6 +213,10 @@ def main() -> None:
                 detail["proof_error"] = proof["error"]
             else:
                 detail["proof"] = proof
+
+    if "error" in msm:  # truly last resort, after all subprocess legs
+        msm = bench_msm()
+        detail.update(msm)
 
     pps = msm["points_per_sec"]
     vs = pps / BASELINE_POINTS_PER_SEC if BASELINE_POINTS_PER_SEC else 1.0

@@ -211,6 +211,18 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     """
     from ..ops.ec import get_curve_ops
     from ..ops.field import fr_ops as mk_fr
+    import jax
+
+    def _phase_sync(*vals):
+        """Drain async XLA dispatch at a phase boundary so the block
+        timers attribute execution to the phase that issued it (the
+        reference syncs around its print_time calls,
+        cuda_prover_piecewise.cu:183-196).  GROTH16_ASYNC_PHASES=1
+        restores free overlap (timers then measure dispatch only)."""
+        if not os.environ.get("GROTH16_ASYNC_PHASES"):
+            jax.block_until_ready(vals)
+        return vals
+
     g1 = get_curve_ops(curve, "g1")
     g2 = get_curve_ops(curve, "g2")
     frops = mk_fr(curve)
@@ -242,10 +254,12 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
     cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
     _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
+    _phase_sync(h_std)
     leave_block("H pipeline (device NTT)")
 
     enter_block("scalar from_monty (device)")
     w_keys = _from_monty_keys(frops, inputs.w_mont)  # (48, m+1)
+    _phase_sync(w_keys)
     leave_block("scalar from_monty (device)")
 
     p = curve.fq.p
@@ -277,10 +291,12 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
                                   jnp.asarray(L_t))
         ws_B2 = straus_window_sums(g2, w_keys[:, :m + 1],
                                    jnp.asarray(B2_t))
+        _phase_sync(ws_g1, ws_B1, ws_L, ws_B2)
         leave_block("MSMs (device: Straus tables + Pippenger A/H)")
 
         enter_block("readback + host assembly")
         res2 = finalize_windows_native(g1, hg1, ws_g1, p, c, 2)
+        Bt1 = Lt = Bt2 = None
         if res2 is not None:
             At, Ht = res2
             Bt1 = finalize_windows_native(g1, hg1, ws_B1, p, STRAUS_C)
@@ -290,10 +306,16 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
             At = finalize_msm(hg1, g1_pts[0], c)
             Ht = finalize_msm(hg1, g1_pts[1], c)
+        # each result falls back independently: horner_proj may fail
+        # after available() returned True (e.g. a dlopen raced an
+        # interrupted rebuild) and must not crash the whole proof
+        if Bt1 is None:
             Bt1 = finalize_msm(
                 hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
+        if Lt is None:
             Lt = finalize_msm(
                 hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
+        if Bt2 is None:
             Bt2 = finalize_msm(
                 hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
     else:
@@ -335,6 +357,7 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
             g2, np.asarray(_pad_keys(w_keys[:, :n2], n2_pad)),
             pad_rows(params.B2[:n2], n2_pad), chunk_s, c, None, 1,
             block_points, signed=signed)
+        _phase_sync(ws_g1, ws_B2)
         leave_block("MSMs (device Pippenger)")
 
         enter_block("readback + host assembly")

@@ -578,6 +578,14 @@ def maybe_fuse(tag, fn, args, key=None):
     if not T or T < MIN_TILE // 2:
         return None
     run = _FUSE_RUNS.get((sig, T))
+    if run is False:  # a previous build at this shrunk tile failed
+        return None
     if run is None:
-        run = _FUSE_RUNS[(sig, T)] = _fuse_build(fn, specs, T)
+        try:
+            run = _FUSE_RUNS[(sig, T)] = _fuse_build(fn, specs, T)
+        except Exception:  # pragma: no cover - hardware-dependent
+            # a shrunk tile is an unvalidated geometry: stay fail-closed
+            # (inline path) instead of propagating a build error
+            _FUSE_RUNS[(sig, T)] = False
+            return None
     return run(*args)

@@ -28,7 +28,8 @@ from ..models.tpu_prover import DeviceInput, DeviceParams
 from ..ops import limbs as L
 from ..ops.ec import get_curve_ops
 from ..ops.field import Fel, fr_ops
-from ..ops.msm import finalize_msm, pad_rows, window_sums_to_host
+from ..ops.msm import (finalize_msm, finalize_windows_native, pad_rows,
+                       window_sums_to_host)
 from ..ops.ntt import get_plan
 from .sharded import (AXIS, ShardedNttPlan, get_sharded_plan,
                       sharded_msm_window_sums, sharded_ntt)
@@ -74,12 +75,21 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
                   inputs: DeviceInput, mesh: Mesh, chunk_s: int = 8,
                   c: int = 8, num_windows: int = None,
                   primary_input_size: int = 1, verbose: bool = False,
-                  signed: bool = False):
+                  signed: bool = None, hostcall: bool = None):
     """Distributed proof; returns affine (A, B2, C) host tuples.
 
     Mirrors models/tpu_prover.prove with every MSM points-sharded and the
     H pipeline domain-sharded, all fused into one jitted step.
+
+    signed: None -> signed digits whenever the run covers all windows
+    (the production prover's default; ops/msm.py's recoding borrow-ripple
+    spans the full scalar, so partial-window runs must stay unsigned).
+    hostcall: None -> the GROTH16_HOSTCALL_MULT env default; a bool
+    scopes callback-mults to THIS call via limbs.hostcall_scope (no
+    process-wide env mutation — the dryrun passes True explicitly).
     """
+    if signed is None:
+        signed = num_windows is None
     _T0 = time.time()
 
     def log(msg):
@@ -168,7 +178,10 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     # the MSM phases always trace real XLA kernels — callbacks inside
     # the deep scan/while bodies convoy on the GIL under multi-partition
     # CPU execution and starve XLA's collective rendezvous.
-    hostcall = L._hostcall_mult()
+    if hostcall is None:
+        hostcall = L._hostcall_mult()
+    else:
+        hostcall = bool(hostcall) and L._cpu_backend()
 
     def g1_phase(w_keys, h_std, g1_rows, seg):
         # fused G1 MSM (A / B1 / L / H in one kernel)
@@ -214,7 +227,11 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     p = curve.fq.p
 
     def finalize(cops_grp, hg, ws, num_msms):
-        """Combined window sums -> per-MSM group elements."""
+        """Combined window sums -> per-MSM group elements (native C
+        Horner epilogue when available, like the single-chip prover)."""
+        res = finalize_windows_native(cops_grp, hg, ws, p, c, num_msms)
+        if res is not None:
+            return res if num_msms > 1 else [res]
         pts = window_sums_to_host(cops_grp, ws, p, num_msms)
         pts = pts if num_msms > 1 else [pts]
         return [finalize_msm(hg, pl, c, num_windows) for pl in pts]

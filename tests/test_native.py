@@ -60,14 +60,19 @@ def test_batch_affine(rng):
             assert gx == x * zi % p and gy == y * zi % p
 
 
-@pytest.mark.parametrize("group", ["g1", "g2"])
-def test_horner_proj_matches_python_finalize(group, rng):
+@pytest.mark.parametrize("curve_name,group", [
+    ("MNT4753", "g1"),        # deg 1
+    ("MNT4753", "g2"),        # deg 2 (Fp2 twist)
+    ("MNT6753", "g2"),        # deg 3 (Fp3 twist) — the production
+                              # MNT6753 prove epilogue path
+])
+def test_horner_proj_matches_python_finalize(curve_name, group, rng):
     """Native window-sum Horner epilogue == the python finalize path
     (the device prover's readback hot spot, BENCH_r03 phases)."""
-    from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
+    from gpu_groth16_prover_3x_tpu.curves.constants import CURVES
     from gpu_groth16_prover_3x_tpu.host import ec as host_ec
 
-    curve = MNT4753
+    curve = CURVES[curve_name]
     hg = (host_ec.g1_group(curve) if group == "g1"
           else host_ec.g2_group(curve))
     gen = (host_ec.g1_generator(curve) if group == "g1"
