@@ -7,11 +7,13 @@ by r1cs_gg_ppzksnark.tcc:289-345).  The host-exact python version
 module runs the exponentiations on the TPU instead (SURVEY.md §2.4 P7:
 "table build as a one-time jitted program"):
 
-  batched double-and-add over the 768 scalar bits — a lax.scan whose body
-  is one complete doubling plus one masked complete mixed-add of the
-  shared affine base, vectorized over all scalars at once.  753-ish
-  sequential steps, each a full-lane-width VPU op: seconds per query at
-  2^16, far from the hours the python oracle would take.
+  fixed-base windowed exponentiation (the device realization of libff's
+  get_window_table/batch_exp, multiexp.tcc:587-680): one cached
+  projective table T[w][d] = d * 2^(c*w) * base per base (c = 8: 96
+  windows x 256 multiples, built by a single 255-step device ladder
+  vectorized across windows), then 96 complete adds per scalar — ~12x
+  fewer field muls than the 753-step double-and-add scan, which remains
+  as the small-n / GROTH16_EXP_WINDOWED=0 fallback.
 
 Only group-element equality matters for the serialized parameters (the
 file stores affine points), so the device path is interchangeable with
@@ -59,6 +61,109 @@ def _exp_scan(cops, x2, y2, bits):
         return cops.to_arrays(cops.normalize_k(acc)), None
 
     out, _ = jax.lax.scan(step, acc0, jnp.flip(bits, axis=0))
+    return out
+
+
+# fixed-base window width: 16 must be divisible by it (digit extraction
+# splits 16-bit limbs); 8 -> 96 windows x 256 table entries
+EXP_WINDOW_C = 8
+_TABLE_CACHE = {}   # (curve.name, group, affine base) -> device arrays
+
+
+def _window_table(curve: CurveParams, group: str, base_pt, cops, hg):
+    """Projective device table T[w*2^c + d] = d * 2^(c*w) * base.
+
+    The TPU realization of libff's fixed-base window tables
+    (multiexp.tcc:587-680 get_window_table): the per-window bases
+    2^(c*w)*base are 768 cheap host doublings; the d-multiples ladder is
+    ONE device scan of 2^c-1 complete mixed-adds vectorized across all
+    windows.  Returned as raw coordinate arrays (48, nwin << c) so the
+    consuming exponentiation scan can gather columns by w*2^c + digit.
+
+    Cached per (curve, group, base): every generate_parameters G1 query
+    (A/B1/L/H) shares the same base, so the table is built once.
+    """
+    c = EXP_WINDOW_C
+    nwin = 768 // c
+    p = curve.fq.p
+    deg = cops.F.deg
+
+    bx, by = hg.to_affine(base_pt)
+    key = (curve.name, group, bx, by)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    # host: the 96 window bases (768 python doublings — microseconds each)
+    cur = base_pt
+    win_aff = []
+    for _ in range(nwin):
+        win_aff.append(hg.to_affine(cur))
+        for _ in range(c):
+            cur = hg.dbl(cur)
+
+    def fel_cols(vals):
+        """list of ints -> (48, nwin) Montgomery Fel."""
+        cols = np.stack([L.int_to_limbs(v * R % p) for v in vals], axis=1)
+        return Fel(jnp.asarray(cols), 1)
+
+    if deg == 1:
+        x2 = fel_cols([a[0] for a in win_aff])
+        y2 = fel_cols([a[1] for a in win_aff])
+    else:
+        x2 = tuple(fel_cols([a[0][i] for a in win_aff]) for i in range(deg))
+        y2 = tuple(fel_cols([a[1][i] for a in win_aff]) for i in range(deg))
+
+    # device: d-multiples ladder, collecting every acc (d = 1 .. 2^c - 1)
+    zero_arrs = cops.to_arrays(cops.zero((nwin,)))
+
+    def step(acc_arrs, _):
+        acc = cops.mixed_add(cops.from_arrays(acc_arrs), x2, y2)
+        arrs = cops.to_arrays(cops.normalize_k(acc))
+        return arrs, arrs
+
+    _, ladder = jax.lax.scan(step, zero_arrs, None, length=(1 << c) - 1)
+    # prepend d=0 (identity; the consuming adds are complete, so no mask)
+    tables = tuple(
+        jnp.concatenate([z[None], lad], axis=0)        # (2^c, 48, nwin)
+           .transpose(1, 2, 0)                         # (48, nwin, 2^c)
+           .reshape(L.NUM_LIMBS, nwin << c)
+        for z, lad in zip(zero_arrs, ladder))
+    tables = jax.block_until_ready(tables)
+    _TABLE_CACHE[key] = tables
+    return tables
+
+
+def _digits_from_limbs(limbs):
+    """(48, n) u32 16-bit limbs -> (nwin, n) u32 c-bit digits, LSB first."""
+    c = EXP_WINDOW_C
+    per = 16 // c
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * c)[None, :, None]
+    digs = (limbs[:, None, :] >> shifts) & ((1 << c) - 1)
+    return digs.reshape(-1, limbs.shape[-1])
+
+
+def _exp_windowed(cops, tables, limbs):
+    """Fixed-base windowed exponentiation: 768/c complete adds per scalar
+    (vs 768 dbl+masked-add steps for _exp_scan — ~12x fewer field muls).
+
+    Digit 0 gathers the identity column and the RCB15 complete add
+    absorbs it branch-free (ops/ec.py module docstring), so there is no
+    per-lane masking at all.
+    """
+    c = EXP_WINDOW_C
+    digits = _digits_from_limbs(limbs)            # (nwin, n)
+    nwin = digits.shape[0]
+    offs = (jnp.arange(nwin, dtype=jnp.uint32) << c)[:, None]
+    acc0 = cops.to_arrays(cops.zero((limbs.shape[-1],)))
+
+    def step(acc_arrs, idx_row):
+        pt = cops.from_arrays(
+            [jnp.take(t, idx_row, axis=1) for t in tables])
+        acc = cops.add(cops.from_arrays(acc_arrs), pt)
+        return cops.to_arrays(cops.normalize_k(acc)), None
+
+    out, _ = jax.lax.scan(step, acc0, offs + digits)
     return out
 
 
@@ -123,18 +228,22 @@ def batch_exp_device(curve: CurveParams, group: str, base_pt,
                                         scalars[lo:lo + blk]))
         return _exp_cache_save(cache_path, out)
 
-    if deg == 1:
-        x2 = Fel(jnp.asarray(L.int_to_limbs(bx * R % p)[:, None]), 1)
-        y2 = Fel(jnp.asarray(L.int_to_limbs(by * R % p)[:, None]), 1)
-    else:
-        x2 = tuple(Fel(jnp.asarray(
-            L.int_to_limbs(c * R % p)[:, None]), 1) for c in bx)
-        y2 = tuple(Fel(jnp.asarray(
-            L.int_to_limbs(c * R % p)[:, None]), 1) for c in by)
-
     limbs = jnp.asarray(scalars_to_limbs([s % curve.fr.p for s in scalars]))
-    bits = _bits_from_limbs(limbs)
-    arrs = _exp_scan(cops, x2, y2, bits)
+    windowed = _os.environ.get("GROTH16_EXP_WINDOWED", "1") != "0" and n >= 32
+    if windowed:
+        tables = _window_table(curve, group, base_pt, cops, hg)
+        arrs = _exp_windowed(cops, tables, limbs)
+    else:
+        if deg == 1:
+            x2 = Fel(jnp.asarray(L.int_to_limbs(bx * R % p)[:, None]), 1)
+            y2 = Fel(jnp.asarray(L.int_to_limbs(by * R % p)[:, None]), 1)
+        else:
+            x2 = tuple(Fel(jnp.asarray(
+                L.int_to_limbs(c * R % p)[:, None]), 1) for c in bx)
+            y2 = tuple(Fel(jnp.asarray(
+                L.int_to_limbs(c * R % p)[:, None]), 1) for c in by)
+        bits = _bits_from_limbs(limbs)
+        arrs = _exp_scan(cops, x2, y2, bits)
 
     # readback: canonical Montgomery limbs
     ctx = cops.F.ctx if deg == 1 else cops.F.base.ctx

@@ -50,3 +50,35 @@ def test_batch_exp_block_checkpoint_cache(tmp_path, monkeypatch):
     got_warm = setup_device.batch_exp_device(MNT4753, "g1", gen, scalars)
     assert got_cold == want
     assert got_warm == want
+
+
+@pytest.mark.parametrize("curve_name,group", [
+    ("MNT4753", "g1"),
+    ("MNT4753", "g2"),
+    ("MNT6753", "g2"),        # deg-3 tower through the windowed ladder
+])
+def test_batch_exp_windowed_matches_scan(curve_name, group, monkeypatch):
+    """Fixed-base windowed path == double-and-add path == host oracle
+    (libff batch_exp semantics, multiexp.tcc:587-680)."""
+    from gpu_groth16_prover_3x_tpu.curves.constants import CURVES
+    from gpu_groth16_prover_3x_tpu.host import ec as host_ec
+
+    curve = CURVES[curve_name]
+    rng = random.Random(0xF1BED)
+    gen = (host_ec.g1_generator(curve) if group == "g1"
+           else host_ec.g2_generator(curve))
+    hg = (host_ec.g1_group(curve) if group == "g1"
+          else host_ec.g2_group(curve))
+    # include the digit-0-heavy edge cases: 0, 1, tiny, p-1
+    scalars = [0, 1, 255, 256, curve.fr.p - 1] + [
+        rng.randrange(curve.fr.p) for _ in range(35)]
+
+    monkeypatch.setenv("GROTH16_EXP_WINDOWED", "1")
+    got = setup_device.batch_exp_device(curve, group, gen, scalars)
+    monkeypatch.setenv("GROTH16_EXP_WINDOWED", "0")
+    want = setup_device.batch_exp_device(curve, group, gen, scalars)
+    assert got == want
+    # spot-check vs the exact host group law
+    for s, aff in list(zip(scalars, got))[:6]:
+        assert hg.to_affine(hg.mul(s, gen)) == aff or (
+            s == 0 and aff == want[0])
