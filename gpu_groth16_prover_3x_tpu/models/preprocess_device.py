@@ -21,7 +21,15 @@ import numpy as np
 
 from ..curves.constants import CurveParams
 from ..ops import limbs as L
-from ..ops.ec import get_curve_ops
+from ..ops.ec import _get_curve_ops
+
+
+def get_curve_ops(curve, group):
+    # pinned radix-16 Fq ops: this tool serializes the reference's
+    # R = 2^768 limb formats and builds its device elements at that
+    # radix; the GROTH16_FQ_RADIX=15 prover path converts at load
+    # (ops/msm.rows_to_radix15), not here
+    return _get_curve_ops(curve, group, 16)
 from ..ops.msm import pack_affine_rows
 from ..utils import native
 from ..utils import serialization as ser

@@ -34,7 +34,15 @@ from ..host.fft import Radix2Domain
 from ..host.groth16 import SetupResult, Trapdoor, qap_instance_evaluation
 from ..host.r1cs import generate_r1cs_example_with_field_input, evaluate_lc
 from ..ops import limbs as L
-from ..ops.ec import get_curve_ops
+from ..ops.ec import _get_curve_ops
+
+
+def get_curve_ops(curve, group):
+    # pinned radix-16 Fq ops: this tool serializes the reference's
+    # R = 2^768 limb formats and builds its device elements at that
+    # radix; the GROTH16_FQ_RADIX=15 prover path converts at load
+    # (ops/msm.rows_to_radix15), not here
+    return _get_curve_ops(curve, group, 16)
 from ..ops.field import Fel
 from ..ops.msm import scalars_to_limbs
 from ..utils import native

@@ -93,6 +93,7 @@ def load_params(path: str, curve: CurveParams) -> DeviceParams:
         B2 = _read_g2_rows(f, m + 1, deg)
         Lq = _read_g1_rows(f, m - 1)
         H = _read_g1_rows(f, d)
+        ser.check_trailing(f, path)
     return DeviceParams(d, m, A, B1, B2, Lq, H)
 
 
@@ -112,6 +113,7 @@ def load_preprocessed(path: str, curve: CurveParams, m: int, nL: int):
         B1_t = _read_g1_rows(f, nmul * (m + 1))
         B2_t = _read_g2_rows(f, nmul * (m + 1), deg)
         L_t = _read_g1_rows(f, nmul * nL)
+        ser.check_trailing(f, path)
     return B1_t, B2_t, L_t
 
 
@@ -123,6 +125,7 @@ def load_input(path: str, curve: CurveParams, d: int, m: int) -> DeviceInput:
         cb = ser.u64_to_u16x48(ser.read_raw_u64(f, d + 1))
         cc = ser.u64_to_u16x48(ser.read_raw_u64(f, d + 1))
         r = ser.read_fq(f, curve.fr.p)
+        ser.check_trailing(f, path)
     return DeviceInput(w, ca, cb, cc, r)
 
 
@@ -229,6 +232,16 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     hg1 = host_ec.g1_group(curve)
     hg2 = host_ec.g2_group(curve)
     d, m = params.d, params.m
+    if g1.qbits != 16:
+        # radix-15 Fq (GROTH16_FQ_RADIX=15): serialized R-domain rows
+        # re-chunk + domain-shift to R' once at load (ops/msm.py)
+        from ..ops.msm import rows_at_fq_radix as _rx
+        p_ = curve.fq.p
+        params = DeviceParams(d, m, _rx(p_, params.A), _rx(p_, params.B1),
+                              _rx(p_, params.B2), _rx(p_, params.L),
+                              _rx(p_, params.H))
+        if tables is not None:
+            tables = tuple(_rx(p_, np.asarray(t)) for t in tables)
     if c is None:
         # the 2^c-bucket reduction is O(2^c) EC ops per window: pick the
         # small window when n is small so it cannot dominate

@@ -56,9 +56,15 @@ COORD_K_G2 = 24
 STEADY_LB = 1 << 20
 
 
-@lru_cache(maxsize=None)
 def get_curve_ops(curve: CurveParams, group: str = "g1") -> "CurveOps":
-    """Cached per (curve, group) so jitted callers share trace caches."""
+    """Cached per (curve, group, fq radix) so jitted callers share trace
+    caches (and a GROTH16_FQ_RADIX flip mid-process gets fresh ops)."""
+    from .field import fq_radix
+    return _get_curve_ops(curve, group, fq_radix())
+
+
+@lru_cache(maxsize=None)
+def _get_curve_ops(curve: CurveParams, group: str, bits: int) -> "CurveOps":
     return CurveOps(curve, group)
 
 
@@ -79,6 +85,11 @@ class CurveOps:
         self.curve = curve
         self.group = group
         self.coord_k = COORD_K if group == "g1" else COORD_K_G2
+        # base-field (coordinate) limb geometry — msm/straus/pallas layers
+        # size their packed rows and canon calls off these, so the Fq
+        # radix (GROTH16_FQ_RADIX) threads through without touching the
+        # scalar side (keys/digits stay 48 x 16-bit)
+        self.fq_ctx = None   # filled below once F exists
         # NOTE: the b3 curve constant is constructed LAZILY (per access)
         # so every trace context builds its own constant from host numpy
         # — a Pallas kernel body (ops/pallas_group.py) must not close
@@ -123,6 +134,9 @@ class CurveOps:
                             base.reduce(base.small(t[0], a11), 2))
 
             self._a_mul = a_mul
+        self.fq_ctx = (self.F.ctx if self.F.deg == 1 else self.F.base.ctx)
+        self.nq = self.fq_ctx.n          # limbs per coordinate coefficient
+        self.qbits = self.fq_ctx.bits    # coordinate limb radix
 
     @property
     def _b3(self):

@@ -63,38 +63,49 @@ class Fel:
 
 
 class FpOps:
-    """Prime-field ops over batched limb vectors."""
+    """Prime-field ops over batched limb vectors.
+
+    `bits` picks the limb radix (16 default; 15 enables the one-fold
+    CIOS of ops/limbs.py — used for Fq via fq_ops' GROTH16_FQ_RADIX
+    knob).  All shape/bound constants derive from the MontCtx so the
+    two radixes share every code path.
+    """
 
     deg = 1
 
-    def __init__(self, fp: FieldParams):
+    def __init__(self, fp: FieldParams, bits: int = 16):
         self.fp = fp
-        self.ctx = L.MontCtx(fp.p)
+        self.ctx = L.MontCtx(fp.p, bits)
         self.p = fp.p
+        self.nl = self.ctx.n             # limbs per element
+        self.canon_lb = self.ctx.mask    # canonical limb bound
 
     # -- constructors --------------------------------------------------------
 
     def const(self, x: int, to_mont: bool = True) -> Fel:
-        """Host int -> broadcastable (48,1) constant element."""
+        """Host int -> broadcastable (nl,1) constant element."""
         m = (x * self.ctx.r) % self.p if to_mont else x % self.p
-        return Fel(jnp.asarray(L.int_to_limbs(m)[:, None]), 1)
+        return Fel(jnp.asarray(
+            L.int_to_limbs(m, self.nl, self.ctx.bits)[:, None]), 1,
+            self.canon_lb)
 
     def zero(self, batch=(1,)) -> Fel:
-        return Fel(jnp.zeros((L.NUM_LIMBS,) + tuple(batch), jnp.uint32), 1)
+        return Fel(jnp.zeros((self.nl,) + tuple(batch), jnp.uint32), 1,
+                   self.canon_lb)
 
     def one(self, batch=None) -> Fel:
         one = jnp.asarray(self.ctx.one_mont)
         if batch is not None:
             one = jnp.broadcast_to(
-                one.reshape((L.NUM_LIMBS,) + (1,) * len(batch)),
-                (L.NUM_LIMBS,) + tuple(batch))
-        return Fel(one, 1)
+                one.reshape((self.nl,) + (1,) * len(batch)),
+                (self.nl,) + tuple(batch))
+        return Fel(one, 1, self.canon_lb)
 
     def from_numpy(self, arr: np.ndarray, k: int = 1) -> Fel:
-        """(n, 48) or (48, n) uint limb array -> Fel (Montgomery passthrough)."""
-        if arr.shape[-1] == L.NUM_LIMBS and arr.shape[0] != L.NUM_LIMBS:
+        """(n, nl) or (nl, n) uint limb array -> Fel (Montgomery passthrough)."""
+        if arr.shape[-1] == self.nl and arr.shape[0] != self.nl:
             arr = np.ascontiguousarray(arr.T)
-        return Fel(jnp.asarray(arr.astype(np.uint32)), k)
+        return Fel(jnp.asarray(arr.astype(np.uint32)), k, self.canon_lb)
 
     # -- arithmetic ----------------------------------------------------------
     #
@@ -103,9 +114,9 @@ class FpOps:
     # entry (canon_limbs), where the CIOS loop needs 16-bit operand limbs.
 
     def canon_limbs(self, a: Fel) -> Fel:
-        if a.canonical_limbs:
+        if a.lb <= self.canon_lb:
             return a
-        return Fel(L.canon(a.v), a.k, CANON_LB)
+        return Fel(L.canon(a.v, self.ctx.bits), a.k, self.canon_lb)
 
     def add(self, a: Fel, b: Fel) -> Fel:
         assert a.lb + b.lb <= MAX_LB
@@ -122,11 +133,11 @@ class FpOps:
         c = b.lb
         nd = max(a.v.ndim, b.v.ndim)
         d = jnp.asarray(self.ctx.sub_const(b.k, c)).reshape(
-            (L.NUM_LIMBS,) + (1,) * (nd - 1))
-        assert a.lb + c + 0xFFFF <= MAX_LB
+            (self.nl,) + (1,) * (nd - 1))
+        assert a.lb + c + self.canon_lb <= MAX_LB
         return Fel(self._align(a.v, nd) + (jnp.uint32(c)
                                            - self._align(b.v, nd)) + d,
-                   a.k + b.k, a.lb + c + 0xFFFF)
+                   a.k + b.k, a.lb + c + self.canon_lb)
 
     @staticmethod
     def _align(v, ndim: int):
@@ -142,7 +153,7 @@ class FpOps:
         a, b = self.canon_limbs(a), self.canon_limbs(b)
         nd = max(a.v.ndim, b.v.ndim)
         return Fel(L.mont_mul(self.ctx, self._align(a.v, nd),
-                              self._align(b.v, nd)), 2)
+                              self._align(b.v, nd)), 2, self.canon_lb)
 
     def sqr(self, a: Fel) -> Fel:
         return self.mul(a, a)
@@ -165,20 +176,20 @@ class FpOps:
             shape = jnp.broadcast_shapes(a.v.shape[1:], b.v.shape[1:])
             batch = shape if batch is None else \
                 jnp.broadcast_shapes(batch, shape)
-        full = (L.NUM_LIMBS,) + tuple(batch)
+        full = (self.nl,) + tuple(batch)
         nd = len(full)
 
         def stack(els):
-            lazy = any(not e.canonical_limbs for e in els)
+            lazy = any(e.lb > self.canon_lb for e in els)
             vs = [jnp.broadcast_to(self._align(e.v, nd), full) for e in els]
             out = jnp.concatenate(vs, axis=-1)
-            return L.canon(out) if lazy else out
+            return L.canon(out, self.ctx.bits) if lazy else out
 
         A = stack([a for a, _ in pairs])
         B = stack([b for _, b in pairs])
         C = L.mont_mul(self.ctx, A, B)
         w = batch[-1]
-        return [Fel(C[..., i * w:(i + 1) * w], 2)
+        return [Fel(C[..., i * w:(i + 1) * w], 2, self.canon_lb)
                 for i in range(len(pairs))]
 
     def small(self, a: Fel, c: int) -> Fel:
@@ -191,10 +202,11 @@ class FpOps:
         if a.k <= k_to:
             return a
         a = self.canon_limbs(a)
-        return Fel(L.reduce_bound(self.ctx, a.v, a.k, k_to), k_to)
+        return Fel(L.reduce_bound(self.ctx, a.v, a.k, k_to), k_to,
+                   self.canon_lb)
 
     def canonical(self, a: Fel) -> Fel:
-        return Fel(L.to_canonical(self.ctx, a.v, a.k), 1)
+        return Fel(L.to_canonical(self.ctx, a.v, a.k), 1, self.canon_lb)
 
     # -- structure -----------------------------------------------------------
 
@@ -208,19 +220,19 @@ class FpOps:
     def is_zero(self, a: Fel):
         """Exact zero test (needs canonical-mod-p input to be exact for
         nonzero multiples of p; used on serialized inputs where k==1)."""
-        assert a.k == 1 and a.canonical_limbs
+        assert a.k == 1 and a.lb <= self.canon_lb
         return L.is_zero(a.v)
 
     def broadcast(self, a: Fel, batch) -> Fel:
-        return Fel(jnp.broadcast_to(a.v, (L.NUM_LIMBS,) + tuple(batch)),
+        return Fel(jnp.broadcast_to(a.v, (self.nl,) + tuple(batch)),
                    a.k, a.lb)
 
     # pytree-ish helpers (coordinates as raw arrays for scan/scatter)
     def to_arrays(self, a: Fel):
         return (a.v,)
 
-    def from_arrays(self, arrs, k: int, lb: int = CANON_LB) -> Fel:
-        return Fel(arrs[0], k, lb)
+    def from_arrays(self, arrs, k: int, lb: int = None) -> Fel:
+        return Fel(arrs[0], k, self.canon_lb if lb is None else lb)
 
 
 @dataclass(frozen=True)
@@ -403,17 +415,50 @@ class ExtOps:
     def to_arrays(self, a):
         return tuple(x.v for x in a)
 
-    def from_arrays(self, arrs, k: int, lb: int = CANON_LB):
+    def from_arrays(self, arrs, k: int, lb: int = None):
+        if lb is None:
+            lb = self.base.canon_lb
         return tuple(Fel(v, k, lb) for v in arrs)
 
 
 @lru_cache(maxsize=None)
-def fp_ops(fp: FieldParams) -> FpOps:
-    return FpOps(fp)
+def fp_ops(fp: FieldParams, bits: int = 16) -> FpOps:
+    return FpOps(fp, bits)
+
+
+_FQ_RADIX_SCOPE = None   # trace-time override (see fq_radix_scope)
+
+
+def fq_radix() -> int:
+    """Radix for base-field (coordinate) arithmetic: GROTH16_FQ_RADIX
+    (15 or 16).  The scalar field always stays 16 (its limbs double as
+    MSM window digits and as the serialized NTT layout)."""
+    import os
+    if _FQ_RADIX_SCOPE is not None:
+        return _FQ_RADIX_SCOPE
+    return int(os.environ.get("GROTH16_FQ_RADIX", "16"))
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def fq_radix_scope(bits: int):
+    """Pin the Fq radix for code traced inside the scope (overrides the
+    env knob).  The device setup/preprocess tools pin 16: they serialize
+    the reference's R = 2^768 formats and their kernels are offline
+    one-offs where the radix-15 win doesn't matter."""
+    global _FQ_RADIX_SCOPE
+    prev = _FQ_RADIX_SCOPE
+    _FQ_RADIX_SCOPE = bits
+    try:
+        yield
+    finally:
+        _FQ_RADIX_SCOPE = prev
 
 
 def fq_ops(curve: CurveParams) -> FpOps:
-    return fp_ops(curve.fq)
+    return fp_ops(curve.fq, fq_radix())
 
 
 def fr_ops(curve: CurveParams) -> FpOps:
@@ -421,5 +466,10 @@ def fr_ops(curve: CurveParams) -> FpOps:
 
 
 @lru_cache(maxsize=None)
+def _fqe_ops(curve: CurveParams, bits: int) -> ExtOps:
+    return ExtOps(fp_ops(curve.fq, bits), curve.ext_degree,
+                  curve.non_residue)
+
+
 def fqe_ops(curve: CurveParams) -> ExtOps:
-    return ExtOps(fq_ops(curve), curve.ext_degree, curve.non_residue)
+    return _fqe_ops(curve, fq_radix())

@@ -79,11 +79,16 @@ def pack_affine_rows(coeffs: Sequence[np.ndarray]) -> np.ndarray:
     return np.concatenate([c.astype(np.uint16) for c in coeffs], axis=1)
 
 
-def affine_points_to_rows(points, p: int, deg: int) -> np.ndarray:
+def affine_points_to_rows(points, p: int, deg: int,
+                          bits: int = None) -> np.ndarray:
     """Host affine points [(x, y)] (ints / int-tuples, zero = y==0) ->
-    (n, 2*deg*48) uint16 Montgomery rows."""
+    (n, 2*deg*nq) uint16 Montgomery rows at the Fq coordinate radix
+    (bits=None reads GROTH16_FQ_RADIX; 16 -> the serialized R = 2^768
+    layout, 15 -> 52 x 15-bit limbs in Montgomery R' = 2^780 form)."""
     from ..utils.serialization import ints_to_u16x48
-    n = len(points)
+    from .field import fq_radix
+    if bits is None:
+        bits = fq_radix()
     coeffs = []
     for which in range(2):  # x then y
         for d in range(deg):
@@ -91,7 +96,13 @@ def affine_points_to_rows(points, p: int, deg: int) -> np.ndarray:
                 vals = [pt[which] for pt in points]
             else:
                 vals = [pt[which][d] for pt in points]
-            coeffs.append(ints_to_u16x48(vals, p, to_montgomery=True))
+            if bits == 16:
+                coeffs.append(ints_to_u16x48(vals, p, to_montgomery=True))
+            else:
+                ctx = L.MontCtx(p, bits)
+                coeffs.append(np.stack([
+                    L.int_to_limbs(v * ctx.r % p, ctx.n, bits)
+                    for v in vals]).astype(np.uint16))
     return pack_affine_rows(coeffs)
 
 
@@ -105,6 +116,44 @@ def scalars_to_limbs(scalars: Sequence[int], n_pad: int = None) -> np.ndarray:
     return out
 
 
+def rows_to_radix15(p: int, rows: np.ndarray) -> np.ndarray:
+    """Serialized affine rows (n, ncoef*48) u16 (Montgomery R = 2^768)
+    -> radix-15 rows (n, ncoef*52) u16 (Montgomery R' = 2^780).
+
+    Host side is a pure bit regroup (u16x48_to_u15x52); the domain shift
+    x*R -> x*R' is ONE batched device Montgomery multiply by
+    c = R'^2 / R mod p (mont_mul'(x*R, c) = x*R*c/R' = x*R'), followed
+    by a conditional subtract so coordinates stay canonical below p
+    (the y == 0 infinity encoding and k=1 bounds depend on it; an exact
+    0 input stays exactly 0 through REDC).
+    """
+    import jax
+    from ..utils import serialization as ser
+    ctx = L.MontCtx(p, 15)
+    n = rows.shape[0]
+    if n == 0:
+        return np.zeros((0, rows.shape[1] * 52 // 48), np.uint16)
+    ncoef = rows.shape[1] // 48
+    r52 = ser.u16x48_to_u15x52(np.asarray(rows).reshape(n, ncoef, 48))
+    cols = jnp.asarray(np.moveaxis(r52, 2, 0).reshape(52, n * ncoef)
+                       .astype(np.uint32))
+    c = ctx.r * ctx.r % p * pow(1 << 768, -1, p) % p
+    c_limbs = jnp.asarray(L.int_to_limbs(c, ctx.n, 15)[:, None])
+    out = L.cond_sub_kp(ctx, L.mont_mul(ctx, cols, c_limbs), 1)
+    out_np = np.asarray(jax.device_get(out)).astype(np.uint16)
+    return np.ascontiguousarray(
+        np.moveaxis(out_np.reshape(52, n, ncoef), 0, 2)
+        .reshape(n, ncoef * 52))
+
+
+def rows_at_fq_radix(p: int, rows: np.ndarray) -> np.ndarray:
+    """Bring serialized (radix-16) rows to the active Fq radix."""
+    from .field import fq_radix
+    if fq_radix() == 16 or rows.shape[1] % 48:
+        return rows
+    return rows_to_radix15(p, rows)
+
+
 def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:
     """Pad with y==0 rows (serialized-infinity convention, weight-0 key)."""
     n, f = rows.shape
@@ -116,11 +165,11 @@ def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:
 
 
 def _identity_row(cops: CurveOps) -> np.ndarray:
-    """(0 : 1 : 0) as a packed projective u16 row (3*deg*48,)."""
-    deg = cops.F.deg
-    one = (cops.F.ctx if deg == 1 else cops.F.base.ctx).one_mont[:, 0]
-    row = np.zeros(3 * deg * L.NUM_LIMBS, dtype=np.uint16)
-    row[deg * L.NUM_LIMBS:(deg + 1) * L.NUM_LIMBS] = one  # Y coeff 0 = R
+    """(0 : 1 : 0) as a packed projective u16 row (3*deg*nq,)."""
+    deg, nq = cops.F.deg, cops.nq
+    one = cops.fq_ctx.one_mont[:, 0]
+    row = np.zeros(3 * deg * nq, dtype=np.uint16)
+    row[deg * nq:(deg + 1) * nq] = one  # Y coeff 0 = R
     return row
 
 
@@ -156,6 +205,7 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         "low-window partial sum differs from the masked-scalar oracle")
     F = cops.F
     deg = F.deg
+    nq, qbits = cops.nq, cops.qbits    # coordinate limb geometry
     ncoef = 2 * deg
     S = chunk_s
     assert n % S == 0
@@ -167,17 +217,17 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
     SEG_SPAN = (NBH + 1) if signed else NB  # sort-key span per (window, msm)
     NT = num_msms * NB                 # bucket-table rows per window
     NT_sort = num_msms * SEG_SPAN      # sort-key span per window
-    F3 = 3 * deg * L.NUM_LIMBS
+    F3 = 3 * deg * nq
 
     def unpack_affine(block, batch=None):
-        """(ncoef*48, *batch) u32 -> (x, y) field elements + inf mask.
+        """(ncoef*nq, *batch) u32 -> (x, y) field elements + inf mask.
 
         `batch` defaults to the block's own trailing shape so the trace
         is batch-size-polymorphic — pallas_group.maybe_fuse re-traces
         step_core at lane-tile width, not the full scan width."""
         if batch is None:
             batch = block.shape[1:]
-        cs = block.reshape((ncoef, L.NUM_LIMBS) + batch)
+        cs = block.reshape((ncoef, nq) + batch)
         x = F.from_arrays(tuple(cs[i] for i in range(deg)), 1)
         y = F.from_arrays(tuple(cs[deg + i] for i in range(deg)), 1)
         inf = F.is_zero(y)  # (1, *batch)
@@ -231,7 +281,7 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
                 .reshape(B, S)
         pts = jnp.take(points_rows, order, axis=0)           # (wb, n, F)
         ptsT = jnp.moveaxis(pts, 2, 0).astype(jnp.uint32) \
-                  .reshape(ncoef * L.NUM_LIMBS, B, S)
+                  .reshape(ncoef * nq, B, S)
         xs_seq = jnp.moveaxis(ptsT, 2, 0)                    # (S, F, B)
         ks_seq = jnp.moveaxis(ks, 1, 0)                      # (S, B)
         if signs_grp is not None:
@@ -279,7 +329,8 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             newfirst = _tree_select(first_now[None], accA, firstA)
             new_accA = cops.to_arrays(cops.normalize_k(new_acc))
             # resolve lazy carries before narrowing to uint16 storage
-            em_vals = tuple(L.canon(a).astype(jnp.uint16) for a in accA)
+            em_vals = tuple(L.canon(a, qbits).astype(jnp.uint16)
+                            for a in accA)
             return (tuple(new_accA) + tuple(newfirst) + em_vals
                     + (haschg | change, emit_valid))
 
@@ -376,20 +427,20 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         tail_valid = ~link_next
 
         # -- scatter run totals into the dense bucket tables ----------------
-        def to_rows(arrs):  # tuple of (..., 48, B) -> (..., B, F3)
+        def to_rows(arrs):  # tuple of (..., nq, B) -> (..., B, F3)
             stacked = jnp.concatenate(
                 [jnp.swapaxes(a, -2, -1)[..., None, :]
-                 .reshape(a.shape[:-2] + (B, L.NUM_LIMBS))
+                 .reshape(a.shape[:-2] + (B, nq))
                  for a in arrs], axis=-1)
             return stacked.astype(jnp.uint16)
 
         em_rows = to_rows(em_vals).reshape(-1, F3)       # ((S-1)*wb*C, F3)
         first_rows = to_rows(tuple(
-            L.canon(a).astype(jnp.uint16)
+            L.canon(a, qbits).astype(jnp.uint16)
             for a in cops.to_arrays(cops.normalize_k(first_total))))
         first_rows = first_rows.reshape(-1, F3)
         tail_rows = to_rows(tuple(
-            L.canon(a).astype(jnp.uint16)
+            L.canon(a, qbits).astype(jnp.uint16)
             for a in cops.to_arrays(cops.normalize_k(tail_total))))
         tail_rows = tail_rows.reshape(-1, F3)
 
@@ -441,19 +492,19 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
         Wn = bt.shape[0]
         G = Wn * num_msms
         barrs = jnp.moveaxis(bt, 2, 0).astype(jnp.uint32).reshape(
-            3 * deg, L.NUM_LIMBS, G * NB)
+            3 * deg, nq, G * NB)
         Sp = cops.from_arrays(tuple(barrs[i] for i in range(3 * deg)),
-                              lb=0xFFFF)
+                              lb=cops.fq_ctx.mask)
         if signed:
             # signed digits store magnitude b+1 in bucket b: starting the
             # weighted accumulator at the buckets themselves adds exactly
             # sum_b bucket_b, shifting every weight by one for free.
-            W = cops.from_arrays(cops.to_arrays(Sp), lb=0xFFFF)
+            W = cops.from_arrays(cops.to_arrays(Sp), lb=cops.fq_ctx.mask)
         else:
             W0_arrs = cops.to_arrays(cops.zero((G * NB,)))
             W = cops.from_arrays(tuple(
                 w + b * 0 for w, b in zip(W0_arrs, cops.to_arrays(Sp))),
-                k=1, lb=0xFFFF)
+                k=1, lb=cops.fq_ctx.mask)
         ncrd = 3 * deg
 
         def halves(P):
@@ -540,9 +591,9 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             W = cops.from_arrays(tuple(
                 a.reshape(a.shape[:-1] + (G, m))[..., 0]
                 for a in st[ncrd:]))
-        # per-coord (48, G) -> (Wn, 48, num_msms)
+        # per-coord (nq, G) -> (Wn, nq, num_msms)
         return tuple(
-            jnp.moveaxis(a.reshape(L.NUM_LIMBS, Wn, num_msms), 1, 0)
+            jnp.moveaxis(a.reshape(nq, Wn, num_msms), 1, 0)
             for a in cops.to_arrays(cops.normalize_k(W)))
 
     def scan_phase(scalar_limbs, points_rows, seg_ids):
@@ -582,8 +633,11 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
                 neg = d2 >= half
                 return neg.astype(jnp.int32), jnp.where(neg, d2 - fullc, d2)
 
+            # derive the zero init-carry from the operand so its varying
+            # manual axes match the body output under shard_map (the
+            # scan-vma rule; same trick as limbs._mont_mul_xla's t0)
             _, sdig = jax.lax.scan(
-                ripple, jnp.zeros(keys_all.shape[1:], jnp.int32), keys_all)
+                ripple, keys_all[0] * jnp.int32(0), keys_all)
             signs_all = sdig < 0
             keys_all = jnp.abs(sdig)                # magnitudes 0..2^(c-1)
 
@@ -672,11 +726,11 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
     return scan_phase, reduce_phase
 
 
-def _reduce_checksum(bt, num_msms: int, deg: int):
+def _reduce_checksum(bt, num_msms: int, deg: int, nq: int):
     """GROTH16_MSM_SKIP_REDUCE profiling knob: time the bucket-scan phase
     alone (the checksum keeps the scan from being dead-code-eliminated)."""
     s = bt.astype(jnp.uint32).sum()
-    z = jnp.zeros((bt.shape[0], L.NUM_LIMBS, num_msms), jnp.uint32) + s
+    z = jnp.zeros((bt.shape[0], nq, num_msms), jnp.uint32) + s
     return tuple(z for _ in range(3 * deg))
 
 
@@ -700,7 +754,7 @@ def _msm_window_sums_fused(cops: CurveOps, scalar_limbs, points_rows,
         seg_ids = jnp.zeros((n,), jnp.int32)
     bt = scan_phase(scalar_limbs, points_rows, seg_ids)
     if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
-        return _reduce_checksum(bt, num_msms, cops.F.deg)
+        return _reduce_checksum(bt, num_msms, cops.F.deg, cops.nq)
     return reduce_phase(bt)
 
 
@@ -753,7 +807,7 @@ def msm_window_sums(cops: CurveOps, scalar_limbs, points_rows,
         bt = scan_jit(scalar_limbs, points_rows,
                       jnp.asarray(seg_ids).astype(jnp.int32))
         if os.environ.get("GROTH16_MSM_SKIP_REDUCE"):
-            return _reduce_checksum(bt, num_msms, cops.F.deg)
+            return _reduce_checksum(bt, num_msms, cops.F.deg, cops.nq)
         return reduce_jit(bt)
     return _msm_window_sums_fused(cops, scalar_limbs, points_rows,
                                   chunk_s, c, seg_ids, num_msms,
@@ -771,15 +825,16 @@ def combine_window_sums(cops: CurveOps, ws_a, ws_b):
     Inputs/outputs: tuples of 3*deg arrays shaped (nwin, 48, num_msms).
     """
     nwin, _, M = ws_a[0].shape
+    nq, qbits = cops.nq, cops.qbits
 
     def to_pts(ws):
         arrs = tuple(jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(
-            L.NUM_LIMBS, nwin * M) for a in ws)
-        return cops.from_arrays(tuple(L.canon(a) for a in arrs))
+            nq, nwin * M) for a in ws)
+        return cops.from_arrays(tuple(L.canon(a, qbits) for a in arrs))
 
     s = cops.add(to_pts(ws_a), to_pts(ws_b))
     return tuple(
-        L.canon(a).reshape(L.NUM_LIMBS, nwin, M).transpose(1, 0, 2)
+        L.canon(a, qbits).reshape(nq, nwin, M).transpose(1, 0, 2)
         for a in cops.to_arrays(cops.normalize_k(s)))
 
 
@@ -843,20 +898,34 @@ def finalize_windows_native(cops: CurveOps, host_group, ws, p: int,
     if not native.available():
         return None
     deg = cops.F.deg
-    ctx = cops.F.ctx if deg == 1 else cops.F.base.ctx
+    ctx = cops.fq_ctx
     nwin = int(jnp.asarray(ws[0]).shape[0])
     # canonicalize below p on device (same move as window_sums_to_host)
     arrs = [np.asarray(L.to_canonical(
         ctx,
-        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(L.NUM_LIMBS, -1),
-        cops.coord_k)).reshape(L.NUM_LIMBS, nwin, num_msms)
-        for a in ws]                     # 3*deg x (48, nwin, M)
+        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(ctx.n, -1),
+        cops.coord_k)).reshape(ctx.n, nwin, num_msms)
+        for a in ws]                     # 3*deg x (nq, nwin, M)
+    # the native Horner kernel works in the serialized Montgomery domain
+    # (R = 2^768, 12 x 64-bit limbs); radix-15 window sums carry x*R'
+    # (R' = 2^780) and convert by one host mulmod per element — a few
+    # thousand scalars, microseconds each
+    shift = (pow(1 << 12, -1, p) if ctx.bits == 15 else 1)
     out = []
     for m in range(num_msms):
         rows = np.empty((nwin, 3 * deg * 12), dtype=np.uint64)
         for ci, a in enumerate(arrs):
-            rows[:, ci * 12:(ci + 1) * 12] = ser.u16x48_to_u64(
-                np.ascontiguousarray(a[:, :, m].T))
+            if ctx.bits == 16:
+                rows[:, ci * 12:(ci + 1) * 12] = ser.u16x48_to_u64(
+                    np.ascontiguousarray(a[:, :, m].T))
+            else:
+                col = np.empty((nwin, 12), dtype=np.uint64)
+                for w in range(nwin):
+                    v = L.limbs_to_int(a[:, w:w + 1, m], ctx.bits) \
+                        * shift % p
+                    col[w] = [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                              for i in range(12)]
+                rows[:, ci * 12:(ci + 1) * 12] = col
         pt = native.horner_proj(p, deg, host_group.alpha, host_group.a,
                                 rows, cbits)
         if pt is None:
@@ -866,18 +935,17 @@ def finalize_windows_native(cops: CurveOps, host_group, ws, p: int,
 
 
 def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
-    """Stacked device window sums (nwin, 48, num_msms) -> per-MSM lists of
+    """Stacked device window sums (nwin, nq, num_msms) -> per-MSM lists of
     host projective points: out[msm][window]."""
-    from ..curves.constants import R
     deg = cops.F.deg
     nwin = jnp.asarray(ws[0]).shape[0]
-    ctx = cops.F.ctx if deg == 1 else cops.F.base.ctx
+    ctx = cops.fq_ctx
     arrs = [np.asarray(L.to_canonical(
         ctx,
-        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(L.NUM_LIMBS, -1),
+        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(ctx.n, -1),
         cops.coord_k))
-        for a in ws]   # each (48, nwin * num_msms)
-    rinv = pow(R, -1, p)
+        for a in ws]   # each (nq, nwin * num_msms)
+    rinv = pow(1 << ctx.full_bits, -1, p)
     out = []
     for msm_i in range(num_msms):
         pts = []
@@ -887,10 +955,10 @@ def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
             for cidx in range(3):
                 if deg == 1:
                     coords.append(L.limbs_to_int(
-                        arrs[cidx][:, col:col + 1]) * rinv % p)
+                        arrs[cidx][:, col:col + 1], ctx.bits) * rinv % p)
                 else:
                     coords.append(tuple(L.limbs_to_int(
-                        arrs[cidx * deg + d][:, col:col + 1])
+                        arrs[cidx * deg + d][:, col:col + 1], ctx.bits)
                         * rinv % p for d in range(deg)))
             pts.append(tuple(coords))
         out.append(pts)

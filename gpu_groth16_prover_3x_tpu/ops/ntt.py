@@ -62,7 +62,15 @@ def get_plan(fp: FieldParams, n: int) -> "NttPlan":
 
 
 class NttPlan:
-    """Precomputed tables for one (field, n) forward+inverse NTT pair."""
+    """Precomputed tables for one (field, n) forward+inverse NTT pair.
+
+    The big tables (twiddles, coset powers — O(n) limb columns, ~300 MB
+    total at n = 2^20) are fed to the jitted transforms as ARGUMENTS,
+    never closure constants: a closed-over concrete array is embedded in
+    the lowered program as an HLO literal, which bloats every compile
+    (and overflows the axon tunnel's remote-compile request limit with
+    HTTP 413 at reference-default sizes — seen on the 2^20 gate).
+    """
 
     def __init__(self, fp: FieldParams, n: int):
         assert n & (n - 1) == 0
@@ -80,6 +88,16 @@ class NttPlan:
         self.coset_inv = _power_table(p, r, pow(g, -1, p), n)
         # Z(coset pts) = g^n - 1 (constant on the coset): its inverse
         self.z_coset_inv = self.F.const(pow(pow(g, n, p) - 1, -1, p))
+        self._dev_tables = None
+
+    def device_tables(self):
+        """(tw_fwd, tw_inv, coset, coset_inv) as device arrays, staged
+        once per plan — the argument form of the big tables."""
+        if self._dev_tables is None:
+            self._dev_tables = tuple(
+                jnp.asarray(t) for t in (self.tw_fwd, self.tw_inv,
+                                         self.coset, self.coset_inv))
+        return self._dev_tables
 
 
 # -- core transform -------------------------------------------------------------
@@ -107,26 +125,36 @@ def _ntt(F: FpOps, x: Fel, tw) -> Fel:
     return Fel(v.reshape(L.NUM_LIMBS, n), k)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def _ntt_jit(plan: NttPlan, xv, k: int, tw):
+    return _ntt(plan.F, Fel(xv, k), tw).v
+
+
 def ntt(plan: NttPlan, x: Fel) -> Fel:
-    return _ntt(plan.F, x, jnp.asarray(plan.tw_fwd))
+    tw_fwd = plan.device_tables()[0]
+    return Fel(_ntt_jit(plan, x.v, x.k, tw_fwd), 2 if plan.n > 1 else x.k)
 
 
 def intt(plan: NttPlan, x: Fel) -> Fel:
-    y = _ntt(plan.F, x, jnp.asarray(plan.tw_inv))
+    tw_inv = plan.device_tables()[1]
+    y = Fel(_ntt_jit(plan, x.v, x.k, tw_inv), 2 if plan.n > 1 else x.k)
     return plan.F.mul(y, plan.n_inv)
 
 
-def coset_fft(plan: NttPlan, x: Fel) -> Fel:
+def coset_fft(plan: NttPlan, x: Fel, coset=None) -> Fel:
     """FFT on the coset g*<omega> (basic_radix2_domain.tcc:84-89)."""
-    scaled = plan.F.mul(x, Fel(jnp.asarray(plan.coset).astype(jnp.uint32), 1))
+    if coset is None:
+        coset = plan.device_tables()[2]
+    scaled = plan.F.mul(x, Fel(coset.astype(jnp.uint32), 1))
     return ntt(plan, scaled)
 
 
-def icoset_fft(plan: NttPlan, x: Fel) -> Fel:
+def icoset_fft(plan: NttPlan, x: Fel, coset_inv=None) -> Fel:
     """Inverse coset FFT (basic_radix2_domain.tcc:91-97)."""
+    if coset_inv is None:
+        coset_inv = plan.device_tables()[3]
     y = intt(plan, x)
-    return plan.F.mul(
-        y, Fel(jnp.asarray(plan.coset_inv).astype(jnp.uint32), 1))
+    return plan.F.mul(y, Fel(coset_inv.astype(jnp.uint32), 1))
 
 
 def divide_by_z_on_coset(plan: NttPlan, x: Fel) -> Fel:
@@ -138,6 +166,38 @@ def divide_by_z_on_coset(plan: NttPlan, x: Fel) -> Fel:
 # -- the H-polynomial pipeline ----------------------------------------------------
 
 @partial(jax.jit, static_argnums=(0,))
+def _compute_h_jit(plan: NttPlan, ca, cb, cc, tw_fwd, tw_inv, coset,
+                   coset_inv):
+    """The traced H pipeline; the O(n) tables arrive as arguments (see
+    NttPlan.device_tables — embedding them as HLO literals overflows the
+    compile request at 2^20)."""
+    F = plan.F
+
+    def fwd(x: Fel) -> Fel:
+        scaled = F.mul(x, Fel(coset.astype(jnp.uint32), 1))
+        return Fel(_ntt(F, scaled, tw_fwd).v, 2)
+
+    def inv(x: Fel) -> Fel:
+        y = Fel(_ntt(F, x, tw_inv).v, 2)
+        return F.mul(y, plan.n_inv)
+
+    a = fwd(inv(Fel(ca, 1)))
+    b = fwd(inv(Fel(cb, 1)))
+    h = F.mul(a, b)
+    c = fwd(inv(Fel(cc, 1)))
+    h = F.sub(h, c)
+    h = divide_by_z_on_coset(plan, h)
+    h = F.mul(inv(h), Fel(coset_inv.astype(jnp.uint32), 1))
+    h = F.reduce(h, 2)
+    # standard-domain digits for the H MSM: x * R^-1 via mont_mul(x, 1),
+    # then one conditional subtract so digits are canonical (< p) like
+    # the reference's from_monty (fp.tcc) — mont_mul alone can leave a
+    # value in [p, 2p)
+    one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
+    h_std = L.cond_sub_kp(F.ctx, F.mul(h, Fel(one_std, 1)).v, 1)
+    return h.v, h_std
+
+
 def compute_h_device(plan: NttPlan, ca, cb, cc):
     """The witness-map H pipeline, entirely on device.
 
@@ -149,19 +209,4 @@ def compute_h_device(plan: NttPlan, ca, cb, cc):
     Returns (h_mont, h_std): Montgomery coefficients and standard-domain
     digit limbs (the MSM keys), both (48, n).
     """
-    F = plan.F
-    a = coset_fft(plan, intt(plan, Fel(ca, 1)))
-    b = coset_fft(plan, intt(plan, Fel(cb, 1)))
-    h = F.mul(a, b)
-    c = coset_fft(plan, intt(plan, Fel(cc, 1)))
-    h = F.sub(h, c)
-    h = divide_by_z_on_coset(plan, h)
-    h = icoset_fft(plan, h)
-    h = F.reduce(h, 2)
-    # standard-domain digits for the H MSM: x * R^-1 via mont_mul(x, 1),
-    # then one conditional subtract so digits are canonical (< p) like
-    # the reference's from_monty (fp.tcc) — mont_mul alone can leave a
-    # value in [p, 2p)
-    one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
-    h_std = L.cond_sub_kp(F.ctx, F.mul(h, Fel(one_std, 1)).v, 1)
-    return h.v, h_std
+    return _compute_h_jit(plan, ca, cb, cc, *plan.device_tables())

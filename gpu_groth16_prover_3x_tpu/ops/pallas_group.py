@@ -229,7 +229,7 @@ def _build(cops, op, sig, B, tile=None):
         out_bounds.extend((o.k, o.lb) for o in outs)
         return tuple(o.v for o in outs)
 
-    example = [jax.ShapeDtypeStruct((L.NUM_LIMBS, T), jnp.uint32)
+    example = [jax.ShapeDtypeStruct((cops.nq, T), jnp.uint32)
                for _ in range(n_in)]
     if has_mask:
         example.append(jax.ShapeDtypeStruct((1, T), jnp.uint32))
@@ -255,7 +255,7 @@ def _build(cops, op, sig, B, tile=None):
             ref[...] = v
 
     ms = pl.ANY if interpret else pltpu.VMEM
-    spec = pl.BlockSpec((L.NUM_LIMBS, T), lambda i: (0, i), memory_space=ms)
+    spec = pl.BlockSpec((cops.nq, T), lambda i: (0, i), memory_space=ms)
     in_specs = [spec] * n_in
     if has_mask:
         in_specs.append(
@@ -266,7 +266,7 @@ def _build(cops, op, sig, B, tile=None):
     cp = None if interpret else _compiler_params()
     call = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((L.NUM_LIMBS, B), jnp.uint32)
+        out_shape=[jax.ShapeDtypeStruct((cops.nq, B), jnp.uint32)
                    for _ in range(n_out)],
         grid=(B // T,),
         in_specs=in_specs,
@@ -322,7 +322,9 @@ def _self_check(cops, op, sig):
                         for _ in range(Bc)]
                 vals[0] = 0                      # identity/zero lanes
                 vals[1] = k * p - 1              # at the static bound
-                arr = np.stack([L.int_to_limbs(v) for v in vals], axis=1)
+                arr = np.stack(
+                    [L.int_to_limbs(v, cops.nq, cops.qbits) for v in vals],
+                    axis=1)
                 # numpy on purpose: jnp arrays built under an outer jit
                 # trace are tracers; the check must see concrete values
                 fels.append(Fel(arr, k, lb))
@@ -385,7 +387,7 @@ def _run(cops, op, P, Q_or_xy, q_inf) -> Optional[tuple]:
     if not tile:
         return None
     call, out_bounds = _build(cops, op, sig, B, tile)
-    full = (L.NUM_LIMBS, B)
+    full = (cops.nq, B)
     args = [jnp.broadcast_to(f.v, full) for f in fels]
     if mask is not None:
         args.append(mask.astype(jnp.uint32))

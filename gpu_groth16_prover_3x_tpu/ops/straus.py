@@ -74,7 +74,7 @@ def straus_window_sums(cops: CurveOps, scalar_limbs, table_rows,
     # identity row for digit-0 lanes: the table holds AFFINE rows, where
     # an all-zero row (y == 0) encodes infinity (serialization.py), and
     # lift() maps it to the projective identity
-    zero_row = jnp.zeros((ncoef * L.NUM_LIMBS,), jnp.uint16)
+    zero_row = jnp.zeros((ncoef * cops.nq,), jnp.uint16)
 
     # power-of-two padding for the tree reduction
     n_pad = 1 << max(1, (n - 1).bit_length())
@@ -84,7 +84,7 @@ def straus_window_sums(cops: CurveOps, scalar_limbs, table_rows,
         """(m, F) u16 affine rows -> projective point batch (m,)."""
         m = rows_u16.shape[0]
         cs = rows_u16.T.astype(jnp.uint32).reshape(
-            ncoef, L.NUM_LIMBS, m)
+            ncoef, cops.nq, m)
         x = F.from_arrays(tuple(cs[i] for i in range(deg)), 1)
         y = F.from_arrays(tuple(cs[deg + i] for i in range(deg)), 1)
         inf = F.is_zero(y)
@@ -124,7 +124,7 @@ def straus_window_sums(cops: CurveOps, scalar_limbs, table_rows,
             pts = cops.add(A, B)
             m_live //= 2
 
-        out = tuple(L.canon(a)
+        out = tuple(L.canon(a, cops.qbits)
                     for a in cops.to_arrays(cops.normalize_k(pts)))
         return carry, out
 

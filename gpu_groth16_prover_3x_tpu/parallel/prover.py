@@ -35,18 +35,25 @@ from .sharded import (AXIS, ShardedNttPlan, get_sharded_plan,
                       sharded_msm_window_sums, sharded_ntt)
 
 
-def compute_h_sharded(splan: ShardedNttPlan, mesh: Mesh, ca, cb, cc):
+def compute_h_sharded(splan: ShardedNttPlan, mesh: Mesh, ca, cb, cc,
+                      coset_t=None, coset_inv_t=None):
     """Distributed H pipeline (semantics of compute_H,
     libsnark/main.cpp:89-148) on domain-sharded (48, n) limb arrays.
 
     Elementwise stages (coset scaling, pointwise mul/sub, divide-by-Z)
     run as ordinary sharding-propagated XLA ops; only the NTTs exchange
-    data (three all_to_alls each)."""
+    data (three all_to_alls each).  The O(n) coset tables should be
+    passed as traced arguments (coset_t/coset_inv_t) so they don't embed
+    as HLO literals (ops/ntt.NttPlan.device_tables rationale)."""
     plan = splan.plan
     F = plan.F
 
-    coset = Fel(jnp.asarray(plan.coset).astype(jnp.uint32), 1)
-    coset_inv = Fel(jnp.asarray(plan.coset_inv).astype(jnp.uint32), 1)
+    if coset_t is None:
+        coset_t = jnp.asarray(plan.coset)
+    if coset_inv_t is None:
+        coset_inv_t = jnp.asarray(plan.coset_inv)
+    coset = Fel(coset_t.astype(jnp.uint32), 1)
+    coset_inv = Fel(coset_inv_t.astype(jnp.uint32), 1)
 
     def coset_fft_s(x: Fel) -> Fel:
         scaled = F.reduce(F.mul(x, coset), 2)
@@ -75,7 +82,8 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
                   inputs: DeviceInput, mesh: Mesh, chunk_s: int = 8,
                   c: int = 8, num_windows: int = None,
                   primary_input_size: int = 1, verbose: bool = False,
-                  signed: bool = None, hostcall: bool = None):
+                  signed: bool = None, hostcall: bool = None,
+                  block_points: int = None):
     """Distributed proof; returns affine (A, B2, C) host tuples.
 
     Mirrors models/tpu_prover.prove with every MSM points-sharded and the
@@ -87,6 +95,12 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     hostcall: None -> the GROTH16_HOSTCALL_MULT env default; a bool
     scopes callback-mults to THIS call via limbs.hostcall_scope (no
     process-wide env mutation — the dryrun passes True explicitly).
+    block_points: HBM streaming for the G1 MSM, exactly like the
+    single-chip prover's GROTH16_MSM_BLOCK_POINTS path (tpu_prover.py):
+    rows stay host-resident and ship in bounded GLOBAL blocks (each
+    points-sharded over the mesh), per-block window sums combining on
+    device by MSM linearity.  None -> the env knob, else on by default
+    past 2^22 rows per chip (the BASELINE 2^24 pod config's requirement).
     """
     if signed is None:
         signed = num_windows is None
@@ -103,6 +117,16 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     hg1 = host_ec.g1_group(curve)
     hg2 = host_ec.g2_group(curve)
     d, m = params.d, params.m
+    if g1.qbits != 16:
+        # radix-15 Fq: serialized rows -> R' domain (see tpu_prover)
+        from ..ops.msm import rows_at_fq_radix as _rx
+        from ..models.tpu_prover import DeviceParams as _DP
+        p_ = curve.fq.p
+        params = _DP(d, m, _rx(p_, np.asarray(params.A)),
+                     _rx(p_, np.asarray(params.B1)),
+                     _rx(p_, np.asarray(params.B2)),
+                     _rx(p_, np.asarray(params.L)),
+                     _rx(p_, np.asarray(params.H)))
     ndev = mesh.shape[AXIS]
     quantum = ndev * chunk_s
 
@@ -141,17 +165,32 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
         np.full(d, 3), np.full(n_pad1 - n_tot, 3)]).astype(np.int32)
     n2_pad = pad_n(m + 1)
 
+    if block_points is None:
+        import os
+        blk_env = os.environ.get("GROTH16_MSM_BLOCK_POINTS")
+        if blk_env is not None:
+            block_points = int(blk_env) or None
+        elif n_pad1 > (1 << 22) * ndev:
+            block_points = (1 << 21) * ndev   # 2^21 rows resident per chip
+    if block_points is not None:
+        # round the global block to the shard/chunk quantum
+        block_points = max(quantum,
+                           (block_points // quantum) * quantum)
+    stream_g1 = block_points is not None and block_points < n_pad1
+
     dev_in = dict(
         ca=put_cols(inputs.ca), cb=put_cols(inputs.cb),
         cc=put_cols(inputs.cc), w_mont=put_cols(w_rows),
-        g1_rows=jax.device_put(
-            jnp.asarray(pad_rows(g1_rows_np, n_pad1)), shard_rows),
         seg=jax.device_put(jnp.asarray(seg_np), NamedSharding(mesh, P(AXIS))),
         b2_rows=jax.device_put(
             jnp.asarray(pad_rows(np.asarray(params.B2)[:m + 1], n2_pad)),
             shard_rows),
     )
-    log(f"inputs staged (g1 n={n_pad1}, g2 n={n2_pad})")
+    if not stream_g1:
+        dev_in["g1_rows"] = jax.device_put(
+            jnp.asarray(pad_rows(g1_rows_np, n_pad1)), shard_rows)
+    log(f"inputs staged (g1 n={n_pad1}, g2 n={n2_pad}, "
+        f"stream_g1={stream_g1})")
 
     one_std_np = np.zeros((L.NUM_LIMBS, 1), np.uint32)
     one_std_np[0, 0] = 1
@@ -164,8 +203,9 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     # one-jit variant compiles far slower for zero runtime benefit, the
     # phases being data-dependent).
 
-    def h_phase(ca, cb, cc):
-        return compute_h_sharded(splan, mesh, ca, cb, cc)[1]
+    def h_phase(ca, cb, cc, coset_t, coset_inv_t):
+        return compute_h_sharded(splan, mesh, ca, cb, cc,
+                                 coset_t, coset_inv_t)[1]
 
     def keys_phase(w_mont):
         # scalars out of Montgomery, fully reduced (device from_monty)
@@ -211,13 +251,49 @@ def prove_sharded(curve: CurveParams, params: DeviceParams,
     log("compiling + running the distributed prove step (4 phase-jits)")
     with L.hostcall_scope(hostcall):
         h_std = sync(jax.jit(h_phase)(dev_in["ca"], dev_in["cb"],
-                                      dev_in["cc"]))
+                                      dev_in["cc"],
+                                      jnp.asarray(splan.plan.coset),
+                                      jnp.asarray(splan.plan.coset_inv)))
         log("H pipeline done")
         w_keys = sync(jax.jit(keys_phase)(dev_in["w_mont"]))
         log("from_monty done")
     with L.hostcall_scope(False):
-        ws_g1 = sync(jax.jit(g1_phase)(w_keys, h_std, dev_in["g1_rows"],
-                                       dev_in["seg"]))
+        if stream_g1:
+            # host-resident rows in bounded sharded blocks; per-block
+            # window sums add by MSM linearity (combine_window_sums) —
+            # the multi-chip twin of msm_window_sums_streamed
+            from ..ops.msm import combine_window_sums
+            g1_keys_np = np.concatenate([
+                np.asarray(w_keys)[:, :m + 1], np.asarray(w_keys)[:, :m + 1],
+                np.asarray(w_keys)[:, pi1:pi1 + nL],
+                np.asarray(h_std)[:, :d],
+                np.zeros((48, n_pad1 - n_tot), np.uint32)], axis=1)
+            rows_full = pad_rows(g1_rows_np, n_pad1)
+            B = block_points
+            ws_g1 = None
+            for lo in range(0, n_pad1, B):
+                hi = min(lo + B, n_pad1)
+                rows_b = pad_rows(np.asarray(rows_full[lo:hi]), B)
+                keys_b = np.zeros((48, B), np.uint32)
+                keys_b[:, :hi - lo] = g1_keys_np[:, lo:hi]
+                seg_b = np.full((B,), 3, np.int32)
+                seg_b[:hi - lo] = seg_np[lo:hi]
+                ws_b = sharded_msm_window_sums(
+                    g1, mesh,
+                    jax.device_put(jnp.asarray(keys_b), shard_cols),
+                    jax.device_put(jnp.asarray(rows_b), shard_rows),
+                    chunk_s, c,
+                    jax.device_put(jnp.asarray(seg_b),
+                                   NamedSharding(mesh, P(AXIS))),
+                    4, num_windows, signed=signed)
+                ws_g1 = ws_b if ws_g1 is None else \
+                    combine_window_sums(g1, ws_g1, ws_b)
+                log(f"G1 block [{lo}, {hi}) done")
+            sync(ws_g1)
+        else:
+            ws_g1 = sync(jax.jit(g1_phase)(w_keys, h_std,
+                                           dev_in["g1_rows"],
+                                           dev_in["seg"]))
         log("G1 fused MSM done")
         ws_B2 = jax.jit(g2_phase)(w_keys, dev_in["b2_rows"])
         jax.block_until_ready(ws_B2)

@@ -253,7 +253,13 @@ def _ntt_local_4step(splan: ShardedNttPlan, x_local, tw1, tw2, tw_mat,
 def sharded_ntt(splan: ShardedNttPlan, mesh: Mesh, x, inverse: bool = False):
     """Distributed DFT of x (48, n) sharded on the last axis; returns the
     same sharding.  With inverse=True computes the inverse NTT (including
-    the 1/n scale)."""
+    the 1/n scale).
+
+    All O(n)-sized tables enter as shard_map ARGUMENTS (the sub-transform
+    twiddles replicated, the inter-stage matrix column-sharded) — a
+    closed-over concrete array would be embedded in the program as an
+    HLO literal, which bloats/overflows large-n compiles (see
+    ops/ntt.NttPlan.device_tables)."""
     plan = splan.plan
     tw1 = jnp.asarray(splan.tw1_inv if inverse else splan.tw1_fwd)
     tw2 = jnp.asarray(splan.tw2_inv if inverse else splan.tw2_fwd)
@@ -261,12 +267,13 @@ def sharded_ntt(splan: ShardedNttPlan, mesh: Mesh, x, inverse: bool = False):
         splan.tw_mat_inv if inverse else splan.tw_mat_fwd)
     scale = plan.n_inv if inverse else None
 
-    def body(x_l, tw_mat_l):
-        return _ntt_local_4step(splan, x_l, tw1, tw2, tw_mat_l, scale)
+    def body(x_l, tw_mat_l, tw1_a, tw2_a):
+        return _ntt_local_4step(splan, x_l, tw1_a, tw2_a, tw_mat_l, scale)
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, AXIS), P(None, AXIS, None)),
+        in_specs=(P(None, AXIS), P(None, AXIS, None),
+                  P(None, None), P(None, None)),
         out_specs=P(None, AXIS),
         **_shmap_kwargs(),
-    )(x, tw_mat_full)
+    )(x, tw_mat_full, tw1, tw2)

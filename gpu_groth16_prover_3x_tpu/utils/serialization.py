@@ -46,6 +46,18 @@ def _read_exact(f: BinaryIO, n: int) -> bytes:
     return b
 
 
+def check_trailing(f: BinaryIO, what: str) -> None:
+    """Diagnose bytes past the expected payload (parity with the
+    reference's check_trailing, cuda_prover_piecewise.cu:73-80): a
+    trailing byte means the reader's size math and the writer's disagree,
+    which would otherwise surface as a confusing wrong-proof later."""
+    import sys
+    if f.read(1):
+        print(f"gpu_groth16_prover_3x_tpu: WARNING: trailing bytes in "
+              f"{what} after the expected payload", file=sys.stderr,
+              flush=True)
+
+
 def read_size_t(f: BinaryIO) -> int:
     return struct.unpack("<Q", _read_exact(f, 8))[0]
 
@@ -120,6 +132,22 @@ def u64_to_u16x48(limbs: np.ndarray) -> np.ndarray:
     return u16.astype(np.uint32)
 
 
+def u16x48_to_u15x52(arr: np.ndarray) -> np.ndarray:
+    """(..., 48) 16-bit limbs -> (..., 52) 15-bit limbs, same integer
+    value (pure bit regrouping, vectorized).  The radix-15 device path
+    (ops/limbs.py bits=15) loads the reference's R = 2^768 file limbs
+    through this before the Montgomery-domain shift R -> R' = 2^780."""
+    a = np.asarray(arr).astype(np.uint32)
+    outs = []
+    for j in range(52):
+        bitpos = 15 * j
+        k, s = bitpos >> 4, bitpos & 15
+        lo = a[..., k] >> s
+        hi = (a[..., k + 1] << (16 - s)) if (s and k + 1 < 48) else 0
+        outs.append((lo | hi) & 0x7FFF)
+    return np.stack(outs, axis=-1)
+
+
 def u16x48_to_u64(limbs16: np.ndarray) -> np.ndarray:
     """(..., 48) 16-bit limbs (any int dtype) -> (..., 12) u64 (bitcast)."""
     u16 = np.ascontiguousarray(limbs16.astype("<u2"))
@@ -182,6 +210,7 @@ def read_params(path: str, curve: CurveParams) -> Groth16Params:
         B2 = [read_g2_affine(f, p, deg) for _ in range(m + 1)]
         L = [read_g1_affine(f, p) for _ in range(m - 1)]
         H = [read_g1_affine(f, p) for _ in range(d)]
+        check_trailing(f, path)
     return Groth16Params(d, m, A, B1, B2, L, H)
 
 
@@ -193,6 +222,7 @@ def read_input(path: str, curve: CurveParams, d: int, m: int) -> Groth16Input:
         cb = [read_fq(f, r_mod) for _ in range(d + 1)]
         cc = [read_fq(f, r_mod) for _ in range(d + 1)]
         r = read_fq(f, r_mod)
+        check_trailing(f, path)
     return Groth16Input(w, ca, cb, cc, r)
 
 

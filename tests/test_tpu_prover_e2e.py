@@ -52,3 +52,46 @@ def test_e2e_mnt4753(tmp_path):
 
 def test_e2e_mnt6753(tmp_path):
     _roundtrip(MNT6753, 5, tmp_path, 0x6753)
+
+
+@pytest.mark.parametrize("curve,log2_d,seed", [
+    (MNT4753, 5, 0x7AB1),
+    (MNT6753, 4, 0x7AB2),
+])
+def test_e2e_tables_path(curve, log2_d, seed, tmp_path):
+    """preprocess -> prove(tables=...) == plain Pippenger proof == oracle,
+    byte-identical (the reference's table path is the ONLY prover path,
+    cuda_prover_piecewise.cu:125-141; here both must serialize the same
+    bytes — the claim at models/tpu_prover.py prove())."""
+    from gpu_groth16_prover_3x_tpu.models import preprocess_device
+    from gpu_groth16_prover_3x_tpu.utils import serialization as ser
+
+    res = host_groth16.setup(curve, log2_d, random.Random(seed))
+    hp = Groth16Params(res.d, res.m, res.A, res.B1, res.B2, res.L, res.H)
+    hi = Groth16Input(res.w, res.ca, res.cb, res.cc, res.r)
+    want = host_groth16.prove(curve, hp, hi)
+
+    pfile = tmp_path / f"{curve.name}-parameters"
+    ifile = tmp_path / f"{curve.name}-input"
+    tfile = tmp_path / f"{curve.name}_preprocessed"
+    ser.write_params(str(pfile), curve, res.d, res.m,
+                     res.A, res.B1, res.B2, res.L, res.H)
+    ser.write_input(str(ifile), curve, res.w, res.ca, res.cb, res.cc, res.r)
+    preprocess_device.run_preprocess(curve, str(pfile), str(tfile))
+
+    params = tpu_prover.load_params(str(pfile), curve)
+    inputs = tpu_prover.load_input(str(ifile), curve, params.d, params.m)
+    tables = tpu_prover.load_preprocessed(str(tfile), curve, params.m,
+                                          params.L.shape[0])
+    got_tables = tpu_prover.prove(curve, params, inputs, chunk_s=8,
+                                  tables=tables)
+    got_plain = tpu_prover.prove(curve, params, inputs, chunk_s=8)
+
+    outs = {}
+    for name, proof in (("oracle", want), ("tables", got_tables),
+                        ("plain", got_plain)):
+        of = tmp_path / f"out-{name}"
+        ser.write_output(str(of), curve, *proof)
+        outs[name] = hashlib.sha256(of.read_bytes()).hexdigest()
+    assert outs["tables"] == outs["oracle"], outs
+    assert outs["plain"] == outs["oracle"], outs
