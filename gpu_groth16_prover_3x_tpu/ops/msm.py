@@ -894,38 +894,37 @@ def finalize_windows_native(cops: CurveOps, host_group, ws, p: int,
     (BENCH_r03 phases); native it is milliseconds.
     """
     from ..utils import native
-    from ..utils import serialization as ser
     if not native.available():
         return None
     deg = cops.F.deg
     ctx = cops.fq_ctx
     nwin = int(jnp.asarray(ws[0]).shape[0])
-    # canonicalize below p on device (same move as window_sums_to_host)
-    arrs = [np.asarray(L.to_canonical(
-        ctx,
-        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(ctx.n, -1),
-        cops.coord_k)).reshape(ctx.n, nwin, num_msms)
-        for a in ws]                     # 3*deg x (nq, nwin, M)
+    # Raw (loose) limbs straight to host: the few hundred window-sum
+    # elements reduce mod p in python ints below, so a device
+    # to_canonical pass here would only add epilogue kernels (each a
+    # fresh XLA compile in a cold process — measured ~48 s of the 2^20
+    # gate's "readback + host assembly" lap).  The limb sum is reduced
+    # mod 2^full_bits FIRST: complement-based device subtraction relies
+    # on exactly that truncation (limbs.sub_const contract).
+    arrs = [np.moveaxis(np.asarray(a), 1, 0).reshape(ctx.n, nwin, num_msms)
+            for a in ws]                 # 3*deg x (nq, nwin, M)
     # the native Horner kernel works in the serialized Montgomery domain
     # (R = 2^768, 12 x 64-bit limbs); radix-15 window sums carry x*R'
     # (R' = 2^780) and convert by one host mulmod per element — a few
     # thousand scalars, microseconds each
     shift = (pow(1 << 12, -1, p) if ctx.bits == 15 else 1)
+    mask64 = (1 << 64) - 1
+    full_mask = (1 << ctx.full_bits) - 1
     out = []
     for m in range(num_msms):
         rows = np.empty((nwin, 3 * deg * 12), dtype=np.uint64)
         for ci, a in enumerate(arrs):
-            if ctx.bits == 16:
-                rows[:, ci * 12:(ci + 1) * 12] = ser.u16x48_to_u64(
-                    np.ascontiguousarray(a[:, :, m].T))
-            else:
-                col = np.empty((nwin, 12), dtype=np.uint64)
-                for w in range(nwin):
-                    v = L.limbs_to_int(a[:, w:w + 1, m], ctx.bits) \
-                        * shift % p
-                    col[w] = [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
-                              for i in range(12)]
-                rows[:, ci * 12:(ci + 1) * 12] = col
+            col = np.empty((nwin, 12), dtype=np.uint64)
+            for w in range(nwin):
+                v = (L.limbs_to_int(a[:, w:w + 1, m], ctx.bits)
+                     & full_mask) * shift % p
+                col[w] = [(v >> (64 * i)) & mask64 for i in range(12)]
+            rows[:, ci * 12:(ci + 1) * 12] = col
         pt = native.horner_proj(p, deg, host_group.alpha, host_group.a,
                                 rows, cbits)
         if pt is None:
@@ -940,12 +939,14 @@ def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
     deg = cops.F.deg
     nwin = jnp.asarray(ws[0]).shape[0]
     ctx = cops.fq_ctx
-    arrs = [np.asarray(L.to_canonical(
-        ctx,
-        jnp.moveaxis(jnp.asarray(a), 1, 0).reshape(ctx.n, -1),
-        cops.coord_k))
-        for a in ws]   # each (nq, nwin * num_msms)
+    # raw loose limbs; the per-element `% 2^full * rinv % p` below
+    # canonicalizes exactly on host (no device epilogue kernels; the
+    # mod-2^full truncation is semantically required — complement
+    # subtraction relies on it, see finalize_windows_native)
+    arrs = [np.moveaxis(np.asarray(a), 1, 0).reshape(ctx.n, -1)
+            for a in ws]   # each (nq, nwin * num_msms)
     rinv = pow(1 << ctx.full_bits, -1, p)
+    full_mask = (1 << ctx.full_bits) - 1
     out = []
     for msm_i in range(num_msms):
         pts = []
@@ -954,12 +955,13 @@ def window_sums_to_host(cops: CurveOps, ws, p: int, num_msms: int = 1):
             coords = []
             for cidx in range(3):
                 if deg == 1:
-                    coords.append(L.limbs_to_int(
-                        arrs[cidx][:, col:col + 1], ctx.bits) * rinv % p)
+                    coords.append((L.limbs_to_int(
+                        arrs[cidx][:, col:col + 1], ctx.bits)
+                        & full_mask) * rinv % p)
                 else:
-                    coords.append(tuple(L.limbs_to_int(
+                    coords.append(tuple((L.limbs_to_int(
                         arrs[cidx * deg + d][:, col:col + 1], ctx.bits)
-                        * rinv % p for d in range(deg)))
+                        & full_mask) * rinv % p for d in range(deg)))
             pts.append(tuple(coords))
         out.append(pts)
     return out if num_msms > 1 else out[0]

@@ -56,6 +56,24 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "tpu":
+        # persist compiled executables across CLI processes: the 753-bit
+        # limb graphs are compile-heavy, and a repeat prove at the same
+        # shapes is otherwise ~full compile cost again (XLA:CPU runs
+        # especially — the determinism rerun of the verify recipe).
+        # GROTH16_COMPILE_CACHE=0 disables; a path overrides the default.
+        import os
+        cache = os.environ.get("GROTH16_COMPILE_CACHE")
+        if cache != "0":
+            try:
+                import jax
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    cache or os.path.expanduser(
+                        "~/.cache/gpu_groth16_prover_3x_tpu/jax_cache"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2)
+            except Exception:
+                pass
         if args.mode == "preprocess":
             from ..curves.constants import CURVES
             from ..models import preprocess_device

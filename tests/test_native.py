@@ -114,3 +114,89 @@ def test_horner_proj_matches_python_finalize(curve_name, group, rng):
             acc = hg.dbl(acc)
         acc = hg.add(acc, want_pts[w])
     assert hg.equal(got, acc)
+
+
+def _loose_limbs16(v, n, rng, kmax=3):
+    """Non-canonical 16-bit limb encoding of v (uint32 limbs): canonical
+    split of v, then borrow/carry redistributions between adjacent limbs
+    — the lazy form device window sums arrive in."""
+    d = [(v >> (16 * i)) & 0xFFFF for i in range(n)]
+    for _ in range(rng.randrange(1, 8)):
+        i = rng.randrange(n - 1)
+        if d[i + 1] >= 1 and d[i] <= (1 << 31) - (1 << 16):
+            d[i + 1] -= 1
+            d[i] += 1 << 16
+    # complement-wrap excess: device subtraction leaves +t*2^full in the
+    # limb sum, cancelled only by the mod-2^full truncation
+    # (limbs.sub_const contract) — put t*2^16 on the top limb
+    d[n - 1] += rng.randrange(3) << 16
+    assert (sum(x << (16 * i) for i, x in enumerate(d))
+            % (1 << (16 * n))) == v
+    return d
+
+
+@pytest.mark.parametrize("curve_name,group", [
+    ("MNT4753", "g1"),
+    ("MNT6753", "g2"),        # deg-3 tower
+])
+def test_finalize_windows_loose_limbs(curve_name, group, rng):
+    """finalize_windows_native and window_sums_to_host+finalize_msm accept
+    RAW (lazy, above-p) device limbs: canonicalization happens on host
+    (no device epilogue kernels), including a Z == p (value ≡ 0) infinity
+    encoding."""
+    from gpu_groth16_prover_3x_tpu.curves.constants import CURVES
+    from gpu_groth16_prover_3x_tpu.host import ec as host_ec
+    from gpu_groth16_prover_3x_tpu.host import field as HF
+    from gpu_groth16_prover_3x_tpu.ops.ec import get_curve_ops
+    from gpu_groth16_prover_3x_tpu.ops.msm import (
+        finalize_msm, finalize_windows_native, window_sums_to_host)
+
+    curve = CURVES[curve_name]
+    cops = get_curve_ops(curve, group)
+    hg = (host_ec.g1_group(curve) if group == "g1"
+          else host_ec.g2_group(curve))
+    gen = (host_ec.g1_generator(curve) if group == "g1"
+           else host_ec.g2_generator(curve))
+    p, deg, n = curve.fq.p, hg.deg, cops.fq_ctx.n
+    nwin, cbits, M = 5, 4, 2
+
+    ws = [np.zeros((nwin, n, M), dtype=np.uint32) for _ in range(3 * deg)]
+    want = [[] for _ in range(M)]
+    for m in range(M):
+        for w in range(nwin):
+            if (w + m) % 4 == 3:   # infinity: encode Z as p (≡ 0 mod p)
+                want[m].append(hg.zero)
+                zc = [p] + [0] * (deg - 1) if deg > 1 else p
+                coords = ([0] * deg * 2 + list(zc)) if deg > 1 \
+                    else [0, 0, p]
+            else:
+                jpt = hg.mul(rng.randrange(1, 1 << 30), gen)
+                ax, ay = hg.to_affine(jpt)
+                z = rng.randrange(1, p)
+                if deg == 1:
+                    coords = [ax * z % p, ay * z % p, z]
+                else:
+                    zs = tuple([z] + [0] * (deg - 1))
+                    coords = list(HF.e_mul(ax, zs, p, hg.alpha)) + \
+                        list(HF.e_mul(ay, zs, p, hg.alpha)) + list(zs)
+                want[m].append(jpt)
+            for ci, v in enumerate(coords):
+                enc = v * R % p + rng.randrange(3) * p  # loose: above p
+                ws[ci][w, :, m] = _loose_limbs16(enc, n, rng)
+
+    def oracle(m):
+        acc = hg.zero
+        for w in range(nwin - 1, -1, -1):
+            for _ in range(cbits):
+                acc = hg.dbl(acc)
+            acc = hg.add(acc, want[m][w])
+        return acc
+
+    pts = window_sums_to_host(cops, ws, p, num_msms=M)
+    for m in range(M):
+        assert hg.equal(finalize_msm(hg, pts[m], cbits), oracle(m))
+    if native.available():
+        res = finalize_windows_native(cops, hg, ws, p, cbits, M)
+        assert res is not None
+        for m in range(M):
+            assert hg.equal(res[m], oracle(m))
