@@ -1,37 +1,47 @@
 """Benchmark: MNT4753 G1 Pippenger MSM throughput + full-proof latency.
 
-Prints ONE JSON line:
+Streams one cumulative JSON line per completed leg (the driver records
+the stdout tail, so every completed leg's numbers survive even if a
+later leg times out — the reference likewise prints its timing on every
+run, cuda_prover_piecewise.cu:143-229).  The LAST printed line is the
+final result:
+
   {"metric": "...", "value": N, "unit": "points/sec", "vs_baseline": N,
-   "detail": {..., "proof": {...}}}
+   "detail": {..., "proof20": {...}, "g2": {...}, "ntt": {...}}}
 
-The primary metric stays the BASELINE.json north-star kernel ("G1 MSM
-points/sec at 2^20", comparable across rounds via vs_baseline); the
-`detail.proof` block adds the reference's primary observable — full
-proof wall time with the cuda_prover_piecewise.cu:143-229 phase labels —
-for an MNT4753 parameter set of BENCH_PROOF_LOG2D (default 2^16)
-constraints.  Proof inputs are generated once with the device setup tool
-(models/setup_device.py, byte-identical to the host oracle) and cached
-under .bench_cache/ so repeat runs skip generation.
+Legs, in value order (highest first; later legs are skipped once the
+global deadline BENCH_DEADLINE_S is near):
 
-Each leg runs in its OWN SUBPROCESS with one retry: the axon TPU worker
-sporadically crashes mid-run ("TPU worker process crashed or restarted",
-observed round 2/3 — flaky, the identical program passes on rerun), and
-an in-process crash would otherwise take the whole bench down with it.
+  msm      G1 MSM points/sec at 2^BENCH_LOG2N (primary metric,
+           BASELINE.json north star) — printed the moment it completes
+  proof20  reference-default-scale proof latency (MNT4753 2^20,
+           generate_parameters.cpp:127): cold + in-process WARM e2e
+           with phase split; runs only if .bench_cache already holds
+           the 2^20 parameter files (the gate pipeline generates them)
+  g2       MNT6753 G2 (Fp3 tower) MSM points/sec
+  ntt      device Fr NTT elements/sec
+  proof    full 2^BENCH_PROOF_LOG2D proof (generates params if needed)
 
-Env knobs: BENCH_LOG2N (default 20), BENCH_CHUNK (default 64),
-BENCH_REPS (default 3), BENCH_PROOF_LOG2D (default 16; 0 disables the
-proof leg), BENCH_G2_LOG2N (default 15), BENCH_NTT_LOG2N (default 20),
-BENCH_SKIP_PROOF=1, BENCH_SKIP_G2=1, BENCH_SKIP_NTT=1,
-BENCH_INPROCESS=1 (no subprocesses).  The proof20 leg (reference-default
-MNT4753 2^20 latency) runs only when .bench_cache already holds the 2^20
-parameter files (the hardware gate pipeline generates them).
+Each leg group runs in its OWN SUBPROCESS (the axon TPU worker
+sporadically crashes mid-run — observed rounds 2-4 — and an in-process
+crash would take the whole bench down); the parent reads leg results
+live off the child's stdout and re-emits the cumulative JSON line after
+every completed leg.
+
+Env knobs: BENCH_DEADLINE_S (default 3300; wall budget — legs that
+cannot start before it are recorded {"skipped": "deadline"}),
+BENCH_LOG2N (default 20), BENCH_CHUNK (128), BENCH_REPS (3),
+BENCH_PROOF_LOG2D (16; 0 disables), BENCH_G2_LOG2N (15),
+BENCH_NTT_LOG2N (20), BENCH_SKIP_PROOF/BENCH_SKIP_G2/BENCH_SKIP_NTT,
+BENCH_SKIP_PROOF20, BENCH_INPROCESS=1 (no subprocesses).
 """
 
 import json
 import os
-import random
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -43,6 +53,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # against this.
 BASELINE_POINTS_PER_SEC = 33642.6
 
+_START = time.time()
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("BENCH_DEADLINE_S", "3300"))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.time() - _START)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA executable cache (shared with the tpu CLI)."""
+    cache = os.environ.get("GROTH16_COMPILE_CACHE")
+    if cache == "0":
+        return
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            cache or os.path.expanduser(
+                "~/.cache/gpu_groth16_prover_3x_tpu/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 
 def bench_msm() -> dict:
     import jax
@@ -51,11 +87,12 @@ def bench_msm() -> dict:
     from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
     from gpu_groth16_prover_3x_tpu.host import ec as host_ec
     from gpu_groth16_prover_3x_tpu.ops.ec import get_curve_ops
+    from gpu_groth16_prover_3x_tpu.ops.field import fq_radix
     from gpu_groth16_prover_3x_tpu.ops.msm import (affine_points_to_rows,
                                                    msm_window_sums)
 
     log2n = int(os.environ.get("BENCH_LOG2N", "20"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     # production config: the TPU prover defaults to signed digits
     signed = bool(int(os.environ.get("BENCH_SIGNED", "1")))
@@ -94,14 +131,14 @@ def bench_msm() -> dict:
     best = min(times)
     pps = n / best
 
-    import jax as _jax
     return {
         "log2n": log2n, "n": n, "chunk": chunk, "signed": signed,
+        "fq_radix": fq_radix(),
         "points_per_sec": round(pps, 1),
         "best_s": round(best, 3),
         "all_s": [round(t, 3) for t in times],
         "compile_and_first_s": round(compile_and_first, 1),
-        "device": str(_jax.devices()[0]).split(":")[0],
+        "device": str(jax.devices()[0]).split(":")[0],
     }
 
 
@@ -118,7 +155,7 @@ def bench_g2() -> dict:
                                                    msm_window_sums)
 
     log2n = int(os.environ.get("BENCH_G2_LOG2N", "15"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log2n
 
@@ -196,25 +233,19 @@ def bench_ntt() -> dict:
 
 
 def bench_proof() -> dict:
-    """Full prove_files run (the reference's primary observable).
-
-    Parameter/input files are generated once via the device setup tool
-    and cached in .bench_cache/ keyed by curve + size.
-    """
-    from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753
-    from gpu_groth16_prover_3x_tpu.models import tpu_prover
-    from gpu_groth16_prover_3x_tpu.models import setup as setup_model
-    from gpu_groth16_prover_3x_tpu.utils import profiling
-
+    """Full prove_files run at 2^BENCH_PROOF_LOG2D (params generated on
+    demand via the device setup tool, cached in .bench_cache/)."""
     log2d = int(os.environ.get("BENCH_PROOF_LOG2D", "16"))
     return _proof_at(log2d, generate=True)
 
 
 def bench_proof20() -> dict:
     """Reference-default-scale proof latency (MNT4753 2^20,
-    generate_parameters.cpp:127).  Only runs when the 2^20 parameter
-    files are already cached (the gate pipeline generates them; cold
-    generation takes ~an hour and is not a bench's job)."""
+    generate_parameters.cpp:127): cold process prove + in-process WARM
+    rerun (the steady-state number the reference's "3x" headline is
+    about).  Only runs when the 2^20 parameter files are already cached
+    (the gate pipeline generates them; cold generation takes ~an hour
+    and is not a bench's job)."""
     return _proof_at(20, generate=False)
 
 
@@ -271,90 +302,175 @@ def _proof_at(log2d: int, generate: bool) -> dict:
     return out
 
 
+LEGS = {"msm": bench_msm, "proof": bench_proof, "g2": bench_g2,
+        "ntt": bench_ntt, "proof20": bench_proof20}
+
 _LEG_MARK = "BENCH_LEG_RESULT "
 
 
-def _run_leg(leg: str, attempts: int = 2, timeout_s: int = 3000):
-    """Run one bench leg in a subprocess; retry on worker crashes.
-
-    Returns the leg's dict, or {"error": ...} after the last attempt.
-    """
-    last = None
-    for i in range(attempts):
+def _child_main(leg_names) -> None:
+    """Run the named legs sequentially in THIS process, printing a
+    marked JSON line per completed leg (the parent streams them)."""
+    _enable_compile_cache()
+    for name in leg_names:
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", leg],
-                capture_output=True, text=True, timeout=timeout_s,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in r.stdout.splitlines():
-                if line.startswith(_LEG_MARK):
-                    return json.loads(line[len(_LEG_MARK):])
-            tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
-            last = f"rc={r.returncode} " + " | ".join(tail)[-400:]
-        except subprocess.TimeoutExpired:
-            last = f"timeout after {timeout_s}s"
-        print(f"bench leg {leg} attempt {i + 1} failed: {last}",
-              file=sys.stderr, flush=True)
-    return {"error": str(last)[:400]}
+            res = LEGS[name]()
+        except Exception as e:  # noqa: BLE001 — must report, not die
+            res = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(_LEG_MARK + json.dumps({"leg": name, "result": res}),
+              flush=True)
+
+
+def _run_group(leg_names, timeout_s: float, on_leg) -> set:
+    """One subprocess running `leg_names`; stream results live.
+
+    Calls on_leg(name, result) the moment each leg's marked line
+    arrives.  Returns the set of legs that produced a result.  The
+    subprocess is killed at timeout_s; stderr passes through to the
+    parent's stderr (stdout stays JSON-clean for the driver tail).
+    """
+    done = set()
+    env = dict(os.environ)
+    # Stable python string hashing makes the lowered programs (hence the
+    # persistent-compile-cache keys) byte-stable across processes: with
+    # randomized hashing the big fused-MSM program MISSES the cache every
+    # process; with a pinned seed it HITS (measured on the axon backend,
+    # .scratch/hm_seed0_*.log — BASELINE.md round 5).
+    env.setdefault("PYTHONHASHSEED", "0")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--legs", ",".join(leg_names)],
+        stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    q = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    end = time.time() + timeout_s
+    try:
+        while True:
+            try:
+                line = q.get(timeout=max(0.1, min(5.0, end - time.time())))
+            except queue.Empty:
+                if time.time() >= end:
+                    print(f"bench group {leg_names}: timeout after "
+                          f"{timeout_s:.0f}s, killing", file=sys.stderr,
+                          flush=True)
+                    proc.kill()
+                    break
+                continue
+            if line is None:
+                break
+            if line.startswith(_LEG_MARK):
+                rec = json.loads(line[len(_LEG_MARK):])
+                done.add(rec["leg"])
+                on_leg(rec["leg"], rec["result"])
+    finally:
+        try:
+            proc.kill()
+        except Exception:
+            pass
+        proc.wait()
+    return done
 
 
 def main() -> None:
-    legs = {"msm": bench_msm, "proof": bench_proof, "g2": bench_g2,
-            "ntt": bench_ntt, "proof20": bench_proof20}
-    if len(sys.argv) > 2 and sys.argv[1] == "--leg":
-        print(_LEG_MARK + json.dumps(legs[sys.argv[2]]()), flush=True)
+    if len(sys.argv) > 2 and sys.argv[1] == "--legs":
+        _child_main(sys.argv[2].split(","))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--leg":   # legacy form
+        _child_main([sys.argv[2]])
         return
 
     inproc = bool(os.environ.get("BENCH_INPROCESS"))
+    detail = {"deadline_s": _deadline_s()}
+    state = {"pps": None, "log2n": int(os.environ.get("BENCH_LOG2N", "20"))}
 
-    def leg(name, fn, attempts=2, timeout_s=3000):
+    def emit():
+        pps = state["pps"]
+        vs = (pps / BASELINE_POINTS_PER_SEC) if pps else 0.0
+        detail["elapsed_s"] = round(time.time() - _START, 1)
+        print(json.dumps({
+            "metric": f"mnt4753_g1_msm_points_per_sec_2^{state['log2n']}",
+            "value": pps if pps else 0.0,
+            "unit": "points/sec",
+            "vs_baseline": round(vs, 3),
+            "detail": detail,
+        }), flush=True)
+
+    def on_leg(name, res):
+        if name == "msm" and "error" not in res:
+            detail.update(res)
+            state["pps"] = res.get("points_per_sec")
+            state["log2n"] = res.get("log2n", state["log2n"])
+        elif name == "msm":
+            detail["msm_error"] = res["error"]
+        elif name == "proof" and "error" in res:
+            detail["proof_error"] = res["error"]
+        else:
+            detail[name] = res
+        emit()
+
+    def run(leg_names, timeout_s):
+        timeout_s = min(timeout_s, max(0.0, _remaining()))
         if inproc:
-            try:
-                return fn()
-            except Exception as e:  # pragma: no cover
-                return {"error": f"{type(e).__name__}: {e}"[:300]}
-        return _run_leg(name, attempts=attempts, timeout_s=timeout_s)
+            for name in leg_names:
+                try:
+                    on_leg(name, LEGS[name]())
+                except Exception as e:  # noqa: BLE001
+                    on_leg(name, {"error": f"{type(e).__name__}: {e}"[:300]})
+            return set(leg_names)
+        return _run_group(leg_names, timeout_s, on_leg)
 
-    msm = bench_msm() if inproc else _run_leg("msm")
-    if "error" in msm:
-        # one more subprocess attempt — NOT in-process: on single-client
-        # TPU runtimes an in-process fallback would hold the device and
-        # starve the proof-leg subprocesses below
-        msm = _run_leg("msm", attempts=1)
-    detail = dict(msm)
+    # -- leg schedule, value order; see module docstring ------------------
+    # 1. primary metric first, with one retry on a worker crash
+    done = run(["msm"], 1800)
+    if "msm" not in done and _remaining() > 600:
+        run(["msm"], 1800)
 
-    # secondary kernel legs (VERDICT r3 #8): G2 tower MSM + device NTT
+    # 2. the reference's headline observable: warm 2^20 whole-proof
+    #    latency (needs the gate pipeline's cached parameter files)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    have20 = (os.path.isfile(os.path.join(cache, "MNT4753-parameters-20"))
+              and os.path.isfile(os.path.join(cache, "MNT4753-input-20")))
+    if os.environ.get("BENCH_SKIP_PROOF20") or not have20:
+        detail["proof20"] = {"skipped": "no cached 2^20 parameter files"
+                             if not have20 else "BENCH_SKIP_PROOF20"}
+    elif _remaining() < 1200:
+        detail["proof20"] = {"skipped": "deadline"}
+        emit()
+    else:
+        run(["proof20"], 3600)
+
+    # 3. secondary kernel legs (one shared subprocess)
+    kernel_legs = []
     if not os.environ.get("BENCH_SKIP_G2"):
-        detail["g2"] = leg("g2", bench_g2)
+        kernel_legs.append("g2")
     if not os.environ.get("BENCH_SKIP_NTT"):
-        detail["ntt"] = leg("ntt", bench_ntt)
+        kernel_legs.append("ntt")
+    if kernel_legs:
+        if _remaining() < 300:
+            for name in kernel_legs:
+                detail[name] = {"skipped": "deadline"}
+            emit()
+        else:
+            run(kernel_legs, 2400)
 
+    # 4. the small-scale proof leg (generates params if missing)
     if not os.environ.get("BENCH_SKIP_PROOF") and \
             int(os.environ.get("BENCH_PROOF_LOG2D", "16")):
-        proof = leg("proof", bench_proof, attempts=4, timeout_s=4800)
-        if "error" in proof:
-            detail["proof_error"] = proof["error"]
+        if _remaining() < 900:
+            detail["proof"] = {"skipped": "deadline"}
         else:
-            detail["proof"] = proof
-        # reference-default scale (2^20), only if the gate pipeline left
-        # its parameter files in .bench_cache
-        p20 = leg("proof20", bench_proof20, attempts=2, timeout_s=4800)
-        if "error" not in p20 and "skipped" not in p20:
-            detail["proof20"] = p20
+            run(["proof"], 4800)
 
-    if "error" in msm:  # truly last resort, after all subprocess legs
-        msm = bench_msm()
-        detail.update(msm)
-
-    pps = msm["points_per_sec"]
-    vs = pps / BASELINE_POINTS_PER_SEC if BASELINE_POINTS_PER_SEC else 1.0
-    print(json.dumps({
-        "metric": f"mnt4753_g1_msm_points_per_sec_2^{msm['log2n']}",
-        "value": pps,
-        "unit": "points/sec",
-        "vs_baseline": round(vs, 3),
-        "detail": detail,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

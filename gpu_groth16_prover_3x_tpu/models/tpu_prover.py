@@ -157,13 +157,13 @@ def input_from_host(curve: CurveParams, hi) -> DeviceInput:
 
 # -- the prover ------------------------------------------------------------------
 
-def _from_monty_keys(fr_ops, mont_rows: np.ndarray) -> jnp.ndarray:
-    """(n, 48) Montgomery limbs -> (48, n) standard-domain digit limbs.
+def _from_monty_keys(fr_ops, mont_cols) -> jnp.ndarray:
+    """(48, n) Montgomery limb columns (device) -> standard-domain digit
+    limbs, same shape.
 
     Device-side Fr::from_monty (the reference converts scalars out of
     Montgomery on-device too, multiexp/reduce.cu:36)."""
-    x = Fel(jnp.asarray(np.ascontiguousarray(mont_rows.T)
-                        .astype(np.uint32)), 1)
+    x = Fel(jnp.asarray(mont_cols), 1)
     one_std = jnp.zeros((L.NUM_LIMBS, 1), jnp.uint32).at[0, 0].set(1)
     # final conditional subtract: canonical digits < p (fp.tcc from_monty)
     return L.cond_sub_kp(fr_ops.ctx, fr_ops.mul(x, Fel(one_std, 1)).v, 1)
@@ -232,16 +232,16 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     hg1 = host_ec.g1_group(curve)
     hg2 = host_ec.g2_group(curve)
     d, m = params.d, params.m
-    if g1.qbits != 16:
-        # radix-15 Fq (GROTH16_FQ_RADIX=15): serialized R-domain rows
-        # re-chunk + domain-shift to R' once at load (ops/msm.py)
+    if g1.qbits != 16 and tables is not None:
+        # tables path at radix-15 Fq: serialized R-domain rows re-chunk
+        # + domain-shift to R' once at load (ops/msm.py); the Pippenger
+        # path converts on device via stage_rows_device below
         from ..ops.msm import rows_at_fq_radix as _rx
         p_ = curve.fq.p
         params = DeviceParams(d, m, _rx(p_, params.A), _rx(p_, params.B1),
                               _rx(p_, params.B2), _rx(p_, params.L),
                               _rx(p_, params.H))
-        if tables is not None:
-            tables = tuple(_rx(p_, np.asarray(t)) for t in tables)
+        tables = tuple(_rx(p_, np.asarray(t)) for t in tables)
     if c is None:
         # the 2^c-bucket reduction is O(2^c) EC ops per window: pick the
         # small window when n is small so it cannot dominate
@@ -261,23 +261,72 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
     # keep enough chunks (lanes) busy at small sizes
     chunk_s = min(chunk_s, max(8, (2 * m) // 128))
 
-    enter_block("H pipeline (device NTT)")
-    plan = get_plan(curve.fr, d + 1)
-    ca = jnp.asarray(np.ascontiguousarray(inputs.ca.T).astype(np.uint32))
-    cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
-    cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
-    _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
-    _phase_sync(h_std)
-    leave_block("H pipeline (device NTT)")
-
-    enter_block("scalar from_monty (device)")
-    w_keys = _from_monty_keys(frops, inputs.w_mont)  # (48, m+1)
-    _phase_sync(w_keys)
-    leave_block("scalar from_monty (device)")
-
     p = curve.fq.p
     pi1 = primary_input_size + 1
     nL = params.L.shape[0]
+    q = _pad_quantum(chunk_s)
+
+    # -- stage EVERY bulk upload before the first kernel runs ----------------
+    # The axon link's big-transfer bandwidth collapses ~20x once any
+    # kernel has executed in the process (measured in
+    # .scratch/stream_profile*.py; ops/msm.msm_window_sums_streamed).
+    # Uploading the query rows here — before the H-phase NTT — moves
+    # ~GBs of traffic onto the fast link; at radix 15 the R -> R'
+    # domain-shift kernels then run ON DEVICE after all uploads, so the
+    # converted rows never round-trip through the host (the round-4 path
+    # paid five device->host->device trips for this).
+    enter_block("stage inputs (host->device)")
+    ca = jnp.asarray(np.ascontiguousarray(inputs.ca.T).astype(np.uint32))
+    cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
+    cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
+    w_mont = jnp.asarray(np.ascontiguousarray(inputs.w_mont.T)
+                         .astype(np.uint32))
+    g1_rows_dev = b2_rows_dev = None
+    g1_rows_host = b2_rows_host = None
+    if tables is None:
+        from ..ops.msm import rows_at_fq_radix, stage_rows_device
+        g1_rows_np = np.concatenate([
+            params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
+            params.H[:d]])
+        n_tot = g1_rows_np.shape[0]
+        n_pad = ((n_tot + q - 1) // q) * q
+        n2 = m + 1
+        n2_pad = ((n2 + q - 1) // q) * q
+        row_bytes = 2 * (n_pad * 2 * g1.nq
+                         + n2_pad * 2 * g2.F.deg * g1.nq)
+        resident = row_bytes <= int(os.environ.get(
+            "GROTH16_MSM_RESIDENT_BYTES", str(6 << 30)))
+        if resident:
+            s1, fin1 = stage_rows_device(
+                p, pad_rows(g1_rows_np, n_pad), g1.qbits)
+            s2, fin2 = stage_rows_device(
+                p, pad_rows(params.B2[:n2], n2_pad), g1.qbits)
+            _phase_sync(s1, s2)               # uploads complete first
+            g1_rows_dev = fin1()              # radix-15 shift kernels
+            b2_rows_dev = fin2()
+            _phase_sync(g1_rows_dev, b2_rows_dev)
+            del s1, s2
+        else:
+            # beyond-HBM sizes: host-resident rows at the active radix,
+            # streamed in bounded blocks (slow post-kernel link, hidden
+            # behind compute by the double-buffered upload)
+            g1_rows_host = rows_at_fq_radix(p, pad_rows(g1_rows_np, n_pad))
+            b2_rows_host = rows_at_fq_radix(
+                p, pad_rows(params.B2[:n2], n2_pad))
+    leave_block("stage inputs (host->device)")
+
+    enter_block("H pipeline (device NTT)")
+    plan = get_plan(curve.fr, d + 1)
+    _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
+    _phase_sync(h_std)
+    del ca, cb, cc           # ~2.4 GB of HBM at the 2^22 prove
+    leave_block("H pipeline (device NTT)")
+
+    enter_block("scalar from_monty (device)")
+    w_keys = _from_monty_keys(frops, w_mont)  # (48, m+1)
+    _phase_sync(w_keys)
+    del w_mont
+    leave_block("scalar from_monty (device)")
     if tables is not None:
         from ..ops.straus import STRAUS_C, straus_window_sums
         B1_t, B2_t, L_t = tables
@@ -336,40 +385,44 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1,
         # B2, L on three CUDA streams and A, H on the CPU — here the four
         # G1 MSMs share a single sort/scan/reduce pass,
-        # cuda_prover_piecewise.cu:162-179)
-        g1_rows_np = np.concatenate([
-            params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
-            params.H[:d]])
-        n_tot = g1_rows_np.shape[0]
-        q = _pad_quantum(chunk_s)
-        n_pad = ((n_tot + q - 1) // q) * q
-        g1_keys_np = np.concatenate([
-            np.asarray(w_keys[:, :m + 1]), np.asarray(w_keys[:, :m + 1]),
-            np.asarray(w_keys[:, pi1:pi1 + nL]), np.asarray(h_std[:, :d]),
-            np.zeros((L.NUM_LIMBS, n_pad - n_tot), np.uint32)], axis=1)
+        # cuda_prover_piecewise.cu:162-179).  Rows were staged/converted
+        # device-side before the first kernel (see "stage inputs");
+        # keys stay DEVICE-RESIDENT too: w_keys/h_std were computed on
+        # device, and shipping them host-side only to re-upload per
+        # block would pay the (collapsed) link twice in each direction.
+        # u16 keys: digit limbs are < 2^16 and the streamed path widens
+        # per block — at the 2^22 prove the u32 layout would idle 1.6 GB
+        # of HBM (the whole fused MSM has 2^24 rows)
+        g1_keys = jnp.concatenate([
+            w_keys[:, :m + 1].astype(jnp.uint16),
+            w_keys[:, :m + 1].astype(jnp.uint16),
+            w_keys[:, pi1:pi1 + nL].astype(jnp.uint16),
+            h_std[:, :d].astype(jnp.uint16),
+            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), jnp.uint16)], axis=1)
         seg_np = np.concatenate([
             np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
             np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
-        # HBM streaming (SURVEY §7.4.7): past ~2^22 rows the query tables
-        # and the kernel's per-window gathers exceed a single chip's HBM;
-        # bounded point blocks keep residency constant (window sums add
-        # across blocks — MSM linearity).  GROTH16_MSM_BLOCK_POINTS
-        # overrides; 0 disables.
+        # Bounded-block streaming (SURVEY §7.4.7): the kernel's TRANSIENT
+        # working set (sorted copies + emission stacks) is what outgrows
+        # HBM past ~2^22 rows, so blocks bound it regardless of whether
+        # the rows themselves are device-resident.
+        # GROTH16_MSM_BLOCK_POINTS overrides; 0 disables.
         blk_env = os.environ.get("GROTH16_MSM_BLOCK_POINTS")
         if blk_env is not None:
             block_points = int(blk_env) or None
         else:
             block_points = (1 << 21) if n_pad > (1 << 22) else None
+        b2_keys = _pad_keys(w_keys[:, :n2], n2_pad).astype(jnp.uint16)
+        del w_keys, h_std    # copied into g1_keys/b2_keys above
         ws_g1 = msm_window_sums_streamed(
-            g1, g1_keys_np, pad_rows(g1_rows_np, n_pad), chunk_s, c,
-            seg_np, 4, block_points, signed=signed)
+            g1, g1_keys,
+            g1_rows_dev if g1_rows_dev is not None else g1_rows_host,
+            chunk_s, c, seg_np, 4, block_points, signed=signed)
 
-        n2 = m + 1
-        n2_pad = ((n2 + q - 1) // q) * q
         ws_B2 = msm_window_sums_streamed(
-            g2, np.asarray(_pad_keys(w_keys[:, :n2], n2_pad)),
-            pad_rows(params.B2[:n2], n2_pad), chunk_s, c, None, 1,
-            block_points, signed=signed)
+            g2, b2_keys,
+            b2_rows_dev if b2_rows_dev is not None else b2_rows_host,
+            chunk_s, c, None, 1, block_points, signed=signed)
         _phase_sync(ws_g1, ws_B2)
         leave_block("MSMs (device Pippenger)")
 

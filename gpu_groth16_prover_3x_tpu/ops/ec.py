@@ -65,7 +65,17 @@ def get_curve_ops(curve: CurveParams, group: str = "g1") -> "CurveOps":
 
 @lru_cache(maxsize=None)
 def _get_curve_ops(curve: CurveParams, group: str, bits: int) -> "CurveOps":
-    return CurveOps(curve, group)
+    # Construct under a pinned radix scope: CurveOps.__init__ reaches
+    # fq_ops/fqe_ops which read the ambient radix — without the scope the
+    # `bits` key would be advisory only (a direct _get_curve_ops(.., 16)
+    # call under GROTH16_FQ_RADIX=15 would silently build radix-15 ops,
+    # and the cache could hold an entry whose actual radix contradicts
+    # its key).  The setup/preprocess tools rely on this to pin 16.
+    from .field import fq_radix_scope
+    with fq_radix_scope(bits):
+        ops = CurveOps(curve, group)
+    assert ops.qbits == bits, (ops.qbits, bits)
+    return ops
 
 
 def _count_ec(kind: str, coord) -> None:

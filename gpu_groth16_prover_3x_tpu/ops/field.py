@@ -180,10 +180,27 @@ class FpOps:
         nd = len(full)
 
         def stack(els):
-            lazy = any(e.lb > self.canon_lb for e in els)
-            vs = [jnp.broadcast_to(self._align(e.v, nd), full) for e in els]
-            out = jnp.concatenate(vs, axis=-1)
-            return L.canon(out, self.ctx.bits) if lazy else out
+            # Selective entry canonicalization: only the LAZY operands
+            # pay the Kogge-Stone pass, as ONE grouped canon over the
+            # lazy subset (sliced back afterwards).  A whole-stack canon
+            # would re-canonicalize the mul outputs / constants that
+            # dominate layers 2-3 of the EC formulas — measured ~12% of
+            # the MSM scan step's element ops (.scratch/opcount_r5b.py).
+            # Grouped (not per-element) so the canon network isn't
+            # duplicated per operand: XLA:CPU's LLVM backend segfaulted
+            # on the per-element form's module size at deg 3.
+            vs = [jnp.broadcast_to(self._align(e.v, nd), full)
+                  for e in els]
+            lazy_idx = [i for i, e in enumerate(els)
+                        if e.lb > self.canon_lb]
+            if lazy_idx:
+                cat = L.canon(
+                    jnp.concatenate([vs[i] for i in lazy_idx], axis=-1),
+                    self.ctx.bits)
+                w = batch[-1]
+                for j, i in enumerate(lazy_idx):
+                    vs[i] = cat[..., j * w:(j + 1) * w]
+            return jnp.concatenate(vs, axis=-1)
 
         A = stack([a for a, _ in pairs])
         B = stack([b for _, b in pairs])
@@ -432,11 +449,21 @@ _FQ_RADIX_SCOPE = None   # trace-time override (see fq_radix_scope)
 def fq_radix() -> int:
     """Radix for base-field (coordinate) arithmetic: GROTH16_FQ_RADIX
     (15 or 16).  The scalar field always stays 16 (its limbs double as
-    MSM window digits and as the serialized NTT layout)."""
+    MSM window digits and as the serialized NTT layout).
+
+    Default: **15 on accelerator backends** (the one-fold CIOS measured
+    +17.5% G1 MSM throughput on v5e and is sha256-gated end-to-end on
+    hardware for both curves — BASELINE.md round 4), 16 on XLA:CPU
+    (oracle-parity test runs keep their long-lived radix-16 compile
+    caches; the proof bytes are radix-invariant either way).  The env
+    knob always wins — GROTH16_FQ_RADIX=16 is the escape hatch."""
     import os
     if _FQ_RADIX_SCOPE is not None:
         return _FQ_RADIX_SCOPE
-    return int(os.environ.get("GROTH16_FQ_RADIX", "16"))
+    env = os.environ.get("GROTH16_FQ_RADIX")
+    if env is not None:
+        return int(env)
+    return 16 if L._cpu_backend() else 15
 
 
 from contextlib import contextmanager
@@ -445,9 +472,11 @@ from contextlib import contextmanager
 @contextmanager
 def fq_radix_scope(bits: int):
     """Pin the Fq radix for code traced inside the scope (overrides the
-    env knob).  The device setup/preprocess tools pin 16: they serialize
-    the reference's R = 2^768 formats and their kernels are offline
-    one-offs where the radix-15 win doesn't matter."""
+    env knob).  Used by ec._get_curve_ops so a CurveOps' constructed
+    radix always equals its cache key; the device setup/preprocess tools
+    pin 16 through it (their wrappers call _get_curve_ops(.., 16)): they
+    serialize the reference's R = 2^768 formats and their kernels are
+    offline one-offs where the radix-15 win doesn't matter."""
     global _FQ_RADIX_SCOPE
     prev = _FQ_RADIX_SCOPE
     _FQ_RADIX_SCOPE = bits

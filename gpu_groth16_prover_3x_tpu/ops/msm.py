@@ -56,7 +56,10 @@ from . import limbs as L
 from .ec import CurveOps
 
 DEFAULT_C = 16        # window bits: 16 (prod) or 8 (small-n / tests)
-DEFAULT_CHUNK = 64    # S: sequential steps per window scan
+# S: sequential steps per window scan.  128 measured fastest at 2^20 on
+# v5e (129.6k pps vs 127.7k @64 vs 122.3k @32, .scratch/bench_r5b_msm.log
+# — fewer, wider step kernels amortize the per-kernel fixed cost).
+DEFAULT_CHUNK = 128
 REDUCE_FORI_WIDTH = 4096  # below this width the halving levels share one trace
 # target bucket lanes per joint reduction group: (S', W) carry 6 u32
 # coordinate arrays of (48, wb*NT) -> ~4.6 KB/lane transient; 2^19 lanes
@@ -146,12 +149,79 @@ def rows_to_radix15(p: int, rows: np.ndarray) -> np.ndarray:
         .reshape(n, ncoef * 52))
 
 
+def stage_rows_device(p: int, rows: np.ndarray, bits: int):
+    """Upload serialized (radix-16) affine rows and return DEVICE rows
+    at the requested Fq radix.
+
+    Returns (staged, finish) where `staged` is the uploaded device array
+    and `finish()` completes any device-side radix conversion and
+    returns the final (n, ncoef*nq) u16 device rows.  The two-phase
+    shape lets a caller upload EVERY row array first — while the axon
+    link is still fast (its bandwidth collapses ~20x after the first
+    kernel execution, see msm_window_sums_streamed) — and only then run
+    the conversion kernels.  At radix 16 the staged bytes ARE the rows.
+    Unlike rows_to_radix15, the converted rows never round-trip back to
+    the host.
+    """
+    if bits == 16:
+        d = jnp.asarray(rows)
+        return d, lambda: d
+    from ..utils import serialization as ser
+    n = rows.shape[0]
+    ncoef = rows.shape[1] // 48
+    r52 = ser.u16x48_to_u15x52(np.asarray(rows).reshape(n, ncoef, 48))
+    staged = jnp.asarray(r52.reshape(n, ncoef * 52)
+                         .astype(np.uint16))   # compact u16 upload
+
+    def finish():
+        return _r15_convert_jit(p, ncoef)(staged)
+
+    return staged, finish
+
+
+@lru_cache(maxsize=None)
+def _r15_convert_jit(p: int, ncoef: int):
+    """Jitted device twin of rows_to_radix15's domain shift: raw
+    bit-regrouped 52-limb rows (R domain) -> canonical R' = 2^780
+    Montgomery rows, entirely on device."""
+    ctx = L.MontCtx(p, 15)
+    c = ctx.r * ctx.r % p * pow(1 << 768, -1, p) % p
+    c_np = L.int_to_limbs(c, ctx.n, 15)[:, None]
+
+    @jax.jit
+    def convert(rows52):
+        n = rows52.shape[0]
+        cols = jnp.moveaxis(
+            rows52.reshape(n, ncoef, 52), 2, 0).reshape(
+                52, n * ncoef).astype(jnp.uint32)
+        out = L.cond_sub_kp(ctx, L.mont_mul(ctx, cols, jnp.asarray(c_np)),
+                            1)
+        return jnp.moveaxis(
+            out.reshape(52, n, ncoef), 0, 2).reshape(
+                n, ncoef * 52).astype(jnp.uint16)
+
+    return convert
+
+
 def rows_at_fq_radix(p: int, rows: np.ndarray) -> np.ndarray:
-    """Bring serialized (radix-16) rows to the active Fq radix."""
+    """Bring serialized (radix-16) rows to the active Fq radix.
+
+    Row widths are tagged explicitly by divisibility: ncoef*48 (radix 16,
+    ncoef = 2/4/6 for affine deg 1-3) vs ncoef*52 (radix 15) — the two
+    sets are disjoint for every supported ncoef, and anything else is a
+    malformed row array and raises rather than passing through."""
     from .field import fq_radix
-    if fq_radix() == 16 or rows.shape[1] % 48:
+    w = rows.shape[1]
+    if fq_radix() == 16:
+        if w % 48:
+            raise ValueError(f"radix-16 rows must be ncoef*48 wide, got {w}")
         return rows
-    return rows_to_radix15(p, rows)
+    if w % 52 == 0 and w % 48 != 0:
+        return rows          # already radix-15
+    if w % 48 == 0 and w % 52 != 0:
+        return rows_to_radix15(p, rows)
+    raise ValueError(f"ambiguous/malformed row width {w} (not ncoef*48 "
+                     f"xor ncoef*52)")
 
 
 def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:
@@ -318,7 +388,13 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             prevk, haschg, kj = arrs[2 * n_acc:2 * n_acc + 3]
             block = arrs[2 * n_acc + 3]
             sj = arrs[2 * n_acc + 4] if signed_xs else None
-            acc = cops.from_arrays(accA)
+            # ONE canon pass on the carried accumulator, shared by (a)
+            # the u16 emission narrowing and (b) mixed_add's multiply
+            # entry (canon_limbs then skips the already-canonical
+            # coordinates) — previously emission and entry each paid
+            # their own pass (VERDICT r4 #3 "merge canon passes").
+            acc = cops.canon_point(cops.from_arrays(accA))
+            accA_c = cops.to_arrays(acc)
             lifted, (x, y, inf) = lift(block, None, sj)
             summ = cops.mixed_add(acc, x, y, q_inf=inf)
             same = (kj == prevk)[None]
@@ -326,11 +402,9 @@ def _window_kernel_parts(cops: CurveOps, n: int, chunk_s: int, c: int,
             change = ~same[0]
             emit_valid = change & haschg
             first_now = change & (~haschg)
-            newfirst = _tree_select(first_now[None], accA, firstA)
+            newfirst = _tree_select(first_now[None], accA_c, firstA)
             new_accA = cops.to_arrays(cops.normalize_k(new_acc))
-            # resolve lazy carries before narrowing to uint16 storage
-            em_vals = tuple(L.canon(a, qbits).astype(jnp.uint16)
-                            for a in accA)
+            em_vals = tuple(a.astype(jnp.uint16) for a in accA_c)
             return (tuple(new_accA) + tuple(newfirst) + em_vals
                     + (haschg | change, emit_valid))
 
@@ -838,6 +912,20 @@ def combine_window_sums(cops: CurveOps, ws_a, ws_b):
         for a in cops.to_arrays(cops.normalize_k(s)))
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _slice_widen_keys(keys, B: int, lo):
+    """Device-resident key slice [lo, lo+B) widened to uint32 (lo is a
+    traced scalar so every block shares one compiled program)."""
+    return jax.lax.dynamic_slice_in_dim(keys, lo, B, axis=1).astype(
+        jnp.uint32)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _slice_rows(rows, B: int, lo):
+    """Device-resident point-row block [lo, lo+B)."""
+    return jax.lax.dynamic_slice_in_dim(rows, lo, B, axis=0)
+
+
 def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
                              chunk_s: int, c: int, seg_ids_np=None,
                              num_msms: int = 1, block_points: int = None,
@@ -850,34 +938,97 @@ def msm_window_sums_streamed(cops: CurveOps, scalar_limbs, points_rows_np,
     window sums are combined on device (combine_window_sums).  All
     blocks share one kernel compilation (equal block shapes; the tail
     is zero-padded — infinity rows with zero keys are exact no-ops).
+
+    Streaming-bandwidth design (round 4 measured a 45% throughput tax at
+    2^22; the host->device link — not compute — was the bottleneck):
+      * The axon link's big-transfer bandwidth COLLAPSES ~20x (measured
+        ~600 MB/s -> ~30 MB/s, .scratch/stream_profile*.py) once the
+        first real kernel has executed in the process, permanently.  So
+        whenever `points_rows_np`/`scalar_limbs` are already DEVICE
+        arrays (the prover uploads its query rows before the H-phase
+        kernels run, while the link is fast), blocks are device-side
+        dynamic_slices and nothing ships mid-stream at all; the block
+        structure still bounds the kernel's transient working set (sort
+        buffers + emissions), which is what actually outgrows HBM.
+      * Host-resident fallback (rows too big to stage, 2^24+): keys
+        ship as uint16 (digit limbs are < 2^16 — the uint32 layout
+        wasted half its wire bytes), and block i+1's upload is issued
+        right after block i's compute is dispatched (XLA dispatch is
+        async; the host thread pays the transfer while the device
+        crunches), so upload and compute overlap.
     """
     n = points_rows_np.shape[0]
+    dev_keys = isinstance(scalar_limbs, jax.Array)
+    dev_rows = isinstance(points_rows_np, jax.Array)
     if block_points is None or block_points >= n:
-        return msm_window_sums(cops, jnp.asarray(scalar_limbs),
+        keys = scalar_limbs if dev_keys else jnp.asarray(scalar_limbs)
+        if keys.dtype != jnp.uint32:
+            keys = keys.astype(jnp.uint32)
+        return msm_window_sums(cops, keys,
                                jnp.asarray(points_rows_np), chunk_s, c,
                                None if seg_ids_np is None
                                else jnp.asarray(seg_ids_np), num_msms,
                                signed=signed)
     # block size quantized so the scan batch tiles by 128 lanes off-CPU
-    # (the fused Pallas scan-step kernel requirement; see tpu_prover)
+    # (the fused Pallas scan-step kernel requirement; see tpu_prover),
+    # and BALANCED: with the requested cap the last block can be mostly
+    # padding (a 2^20 prove's 4.2M rows under a 2^21 cap would run 3
+    # blocks of 2^21 = 49% wasted lanes); instead the cap only fixes the
+    # block COUNT and the size divides the total evenly.
     q = chunk_s if L._cpu_backend() else chunk_s * 128
-    B = ((min(block_points, n) + q - 1) // q) * q
-    scalar_limbs = np.asarray(scalar_limbs)
+    nblk = -(-n // max(q, min(block_points, n)))   # ceil(n / cap)
+    per_blk = -(-n // nblk)                        # ceil(n / nblk)
+    B = -(-per_blk // q) * q                       # rounded up to quantum
+    n_full = ((n + B - 1) // B) * B
     if seg_ids_np is None:
         seg_ids_np = np.zeros((n,), np.int32)
-    acc = None
-    for lo in range(0, n, B):
+    if dev_keys:
+        # pad once on device so every block slice is in range
+        if scalar_limbs.shape[1] < n_full:
+            scalar_limbs = jnp.pad(
+                scalar_limbs, ((0, 0), (0, n_full - scalar_limbs.shape[1])))
+    else:
+        scalar_limbs = np.asarray(scalar_limbs)
+    if dev_rows and points_rows_np.shape[0] < n_full:
+        # zero rows are y == 0 infinity points: exact no-ops
+        points_rows_np = jnp.pad(
+            points_rows_np, ((0, n_full - points_rows_np.shape[0]), (0, 0)))
+
+    def stage(lo):
+        """Produce block [lo, lo+B): device slices when resident,
+        host-slice + upload otherwise."""
         hi = min(lo + B, n)
-        rows = pad_rows(np.asarray(points_rows_np[lo:hi]), B)
-        keys = np.zeros((L.NUM_LIMBS, B), scalar_limbs.dtype)
-        keys[:, :hi - lo] = scalar_limbs[:, lo:hi]
+        if dev_rows:
+            rows = _slice_rows(points_rows_np, B, lo)
+        else:
+            rows = jax.device_put(jnp.asarray(
+                pad_rows(np.asarray(points_rows_np[lo:hi]), B)))
+        if dev_keys:
+            keys = _slice_widen_keys(scalar_limbs, B, lo)
+        else:
+            keys16 = np.zeros((L.NUM_LIMBS, B), np.uint16)
+            keys16[:, :hi - lo] = scalar_limbs[:, lo:hi]
+            keys = _widen_keys(jax.device_put(jnp.asarray(keys16)))
         seg = np.zeros((B,), np.int32)
         seg[:hi - lo] = seg_ids_np[lo:hi]
-        ws = msm_window_sums(cops, jnp.asarray(keys), jnp.asarray(rows),
-                             chunk_s, c, jnp.asarray(seg), num_msms,
-                             signed=signed)
+        return keys, rows, jax.device_put(jnp.asarray(seg))
+
+    acc = None
+    cur = stage(0)
+    for lo in range(0, n, B):
+        keys_d, rows_d, seg_d = cur
+        ws = msm_window_sums(cops, keys_d, rows_d, chunk_s, c, seg_d,
+                             num_msms, signed=signed)
         acc = ws if acc is None else combine_window_sums(cops, acc, ws)
+        if lo + B < n:
+            # stage the next block while the device runs this one
+            cur = stage(lo + B)
     return acc
+
+
+@jax.jit
+def _widen_keys(keys16):
+    return keys16.astype(jnp.uint32)
 
 
 # -- host finalization ----------------------------------------------------------

@@ -125,19 +125,24 @@ def _ntt(F: FpOps, x: Fel, tw) -> Fel:
     return Fel(v.reshape(L.NUM_LIMBS, n), k)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _ntt_jit(plan: NttPlan, xv, k: int, tw):
-    return _ntt(plan.F, Fel(xv, k), tw).v
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _ntt_jit(plan: NttPlan, xv, k: int, lb: int, tw):
+    # lb rides along as a static arg so a lazy-limbed caller input still
+    # triggers _ntt's canon_limbs pass (rebuilding with the default lb
+    # would silently feed lazy limbs into the CIOS loop)
+    return _ntt(plan.F, Fel(xv, k, lb), tw).v
 
 
 def ntt(plan: NttPlan, x: Fel) -> Fel:
     tw_fwd = plan.device_tables()[0]
-    return Fel(_ntt_jit(plan, x.v, x.k, tw_fwd), 2 if plan.n > 1 else x.k)
+    return Fel(_ntt_jit(plan, x.v, x.k, x.lb, tw_fwd),
+               2 if plan.n > 1 else x.k)
 
 
 def intt(plan: NttPlan, x: Fel) -> Fel:
     tw_inv = plan.device_tables()[1]
-    y = Fel(_ntt_jit(plan, x.v, x.k, tw_inv), 2 if plan.n > 1 else x.k)
+    y = Fel(_ntt_jit(plan, x.v, x.k, x.lb, tw_inv),
+            2 if plan.n > 1 else x.k)
     return plan.F.mul(y, plan.n_inv)
 
 

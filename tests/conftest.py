@@ -23,14 +23,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The 753-bit limb graphs are compile-heavy; persist compiled executables
-# across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES",
-    "xla_gpu_per_fusion_autotune_cache_dir")
+# The 753-bit limb graphs are compile-heavy; persisting compiled
+# executables across test runs would help — but WRITING some of the
+# suite's largest XLA:CPU executables to JAX's persistent cache
+# segfaults inside executable.serialize() (observed round 5:
+# rc=139 with the top frame at compilation_cache.put_executable_and_time
+# during test_device_msm — this, not slowness, is why no complete
+# full-suite run ever finished in rounds 3-4).  Default OFF; opt back in
+# with GROTH16_TEST_COMPILE_CACHE=1 for runs that avoid the big modules.
+if os.environ.get("GROTH16_TEST_COMPILE_CACHE", "0") != "0":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES",
+        "xla_gpu_per_fusion_autotune_cache_dir")
+else:
+    os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -11,6 +11,11 @@ import random
 import numpy as np
 import pytest
 
+# XLA:CPU compile-heavy (753-bit limb graphs): slow tier.
+# Quick tier: `pytest -m "not slow"` (host oracle + serialization
+# + native kernels), target < 10 min cold — see README.
+pytestmark = pytest.mark.slow
+
 jnp = pytest.importorskip("jax.numpy")
 
 from gpu_groth16_prover_3x_tpu.curves.constants import MNT4753, MNT6753, R

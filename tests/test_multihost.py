@@ -21,8 +21,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_distributed_ntt():
+def _run_workers(mode: str, ok_marker: str, timeout: int = 1800) -> None:
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -30,7 +29,7 @@ def test_two_process_distributed_ntt():
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), coordinator],
+            [sys.executable, worker, str(pid), coordinator, mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for pid in (0, 1)
@@ -38,7 +37,7 @@ def test_two_process_distributed_ntt():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1200)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -47,4 +46,20 @@ def test_two_process_distributed_ntt():
                     "\n".join(o or "" for o in outs))
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-        assert "MULTIHOST_OK" in out
+        assert ok_marker in out
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ntt():
+    _run_workers("ntt", "MULTIHOST_OK")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_prove():
+    """prove_sharded across a real process boundary (VERDICT r4 #8):
+    the full distributed prove step — all five MSMs points-DP + the
+    all-to-all NTT H pipeline — on a 2-process x 2-virtual-device mesh,
+    oracle-checked bit-exactly in every process."""
+    # two workers cold-compile the full distributed-prove phase set
+    # concurrently on (possibly) one core: generous ceiling
+    _run_workers("prove", "MULTIHOST_PROVE_OK", timeout=5400)

@@ -13,6 +13,11 @@ import random
 import numpy as np
 import pytest
 
+# XLA:CPU compile-heavy (753-bit limb graphs): slow tier.
+# Quick tier: `pytest -m "not slow"` (host oracle + serialization
+# + native kernels), target < 10 min cold — see README.
+pytestmark = pytest.mark.slow
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
