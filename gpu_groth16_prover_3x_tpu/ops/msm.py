@@ -166,12 +166,9 @@ def stage_rows_device(p: int, rows: np.ndarray, bits: int):
     if bits == 16:
         d = jnp.asarray(rows)
         return d, lambda: d
-    from ..utils import serialization as ser
     n = rows.shape[0]
     ncoef = rows.shape[1] // 48
-    r52 = ser.u16x48_to_u15x52(np.asarray(rows).reshape(n, ncoef, 48))
-    staged = jnp.asarray(r52.reshape(n, ncoef * 52)
-                         .astype(np.uint16))   # compact u16 upload
+    staged = jnp.asarray(np.asarray(rows))   # raw serialized u16 upload
 
     def finish():
         return _r15_convert_jit(p, ncoef)(staged)
@@ -183,22 +180,57 @@ def stage_rows_device(p: int, rows: np.ndarray, bits: int):
 def _r15_convert_jit(p: int, ncoef: int):
     """Jitted device twin of rows_to_radix15's domain shift: raw
     bit-regrouped 52-limb rows (R domain) -> canonical R' = 2^780
-    Montgomery rows, entirely on device."""
+    Montgomery rows, entirely on device.
+
+    Input: RAW serialized rows (n, ncoef*48) u16 — the 16->15-bit limb
+    regroup happens on device too (52 shift/or ops; the numpy version
+    cost minutes of contended host time per 2^20 prove).
+
+    Lanes beyond 2^21 are processed through lax.map in bounded column
+    blocks: one flat CIOS over the 2^20-prove's 8.4M lanes holds
+    several (54, lanes) uint32 scan buffers — enough to
+    RESOURCE_EXHAUSTED the chip's HBM on its own.  Zero padding is
+    exact (0 * c = 0 through REDC) and sliced back off.
+    """
     ctx = L.MontCtx(p, 15)
     c = ctx.r * ctx.r % p * pow(1 << 768, -1, p) % p
     c_np = L.int_to_limbs(c, ctx.n, 15)[:, None]
+    CH = 1 << 21
 
     @jax.jit
-    def convert(rows52):
-        n = rows52.shape[0]
-        cols = jnp.moveaxis(
-            rows52.reshape(n, ncoef, 52), 2, 0).reshape(
-                52, n * ncoef).astype(jnp.uint32)
-        out = L.cond_sub_kp(ctx, L.mont_mul(ctx, cols, jnp.asarray(c_np)),
-                            1)
+    def convert(rows48):
+        n = rows48.shape[0]
+        lanes = n * ncoef
+        cols48 = jnp.moveaxis(
+            rows48.reshape(n, ncoef, 48), 2, 0).reshape(
+                48, lanes).astype(jnp.uint32)
+        # 48 x 16-bit -> 52 x 15-bit limb regroup (device twin of
+        # serialization.u16x48_to_u15x52)
+        outs = []
+        for j in range(52):
+            bitpos = 15 * j
+            k, s = bitpos >> 4, bitpos & 15
+            lo = cols48[k] >> s
+            hi = (cols48[k + 1] << (16 - s)) if (s and k + 1 < 48) else 0
+            outs.append((lo | hi) & 0x7FFF)
+        cols = jnp.stack(outs, axis=0).astype(jnp.uint16)  # (52, lanes)
+        c_dev = jnp.asarray(c_np)
+
+        def shift(b):
+            return L.cond_sub_kp(
+                ctx, L.mont_mul(ctx, b.astype(jnp.uint32), c_dev),
+                1).astype(jnp.uint16)
+
+        if lanes > CH:
+            nch = -(-lanes // CH)
+            cols = jnp.pad(cols, ((0, 0), (0, nch * CH - lanes)))
+            blocks = cols.reshape(52, nch, CH).transpose(1, 0, 2)
+            out = jax.lax.map(shift, blocks)
+            out = out.transpose(1, 0, 2).reshape(52, nch * CH)[:, :lanes]
+        else:
+            out = shift(cols)
         return jnp.moveaxis(
-            out.reshape(52, n, ncoef), 0, 2).reshape(
-                n, ncoef * 52).astype(jnp.uint16)
+            out.reshape(52, n, ncoef), 0, 2).reshape(n, ncoef * 52)
 
     return convert
 

@@ -39,7 +39,10 @@ if os.environ.get("GROTH16_TEST_COMPILE_CACHE", "0") != "0":
         "JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES",
         "xla_gpu_per_fusion_autotune_cache_dir")
 else:
-    os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
+    # jax is pre-imported at interpreter startup (and the image hook may
+    # have initialized a cache dir), so the env var would be read too
+    # late — disable through the config API like the platform pin above.
+    jax.config.update("jax_enable_compilation_cache", False)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -54,20 +54,20 @@ def test_pallas_self_check_gate(monkeypatch):
     import jax.numpy as jnp2
 
     # exact stand-in: self-check must pass
-    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    monkeypatch.setattr(PK, "_SELF_CHECK", {})
     monkeypatch.setattr(PK, "mont_mul_pallas",
                         lambda ctx, a, b: L._mont_mul_xla(ctx, a, b))
     assert PK._self_check() is True
 
     # off-by-one kernel: self-check must fail closed
-    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    monkeypatch.setattr(PK, "_SELF_CHECK", {})
     monkeypatch.setattr(
         PK, "mont_mul_pallas",
         lambda ctx, a, b: L._mont_mul_xla(ctx, a, b) + jnp2.uint32(1))
     assert PK._self_check() is False
 
     # raising kernel: disabled, no exception escapes
-    monkeypatch.setattr(PK, "_SELF_CHECK", None)
+    monkeypatch.setattr(PK, "_SELF_CHECK", {})
     def _boom(ctx, a, b):
         raise RuntimeError("mosaic says no")
     monkeypatch.setattr(PK, "mont_mul_pallas", _boom)
