@@ -299,6 +299,28 @@ def _proof_at(log2d: int, generate: bool) -> dict:
     }
     if gen_s is not None:
         out["param_gen_s"] = gen_s
+
+    # serving mode (params-resident ProverSession): stage the query rows
+    # once, then the steady-state per-proof latency ships only the
+    # inputs — the production serving number (models/tpu_prover.py).
+    # Programs are warm from the runs above, so this costs ~2 proofs.
+    if (os.environ.get("BENCH_SKIP_SERVE", "0") == "0"
+            and log2d >= 18 and _remaining() > 600):
+        params = tpu_prover.load_params(params_path, MNT4753)
+        inputs = tpu_prover.load_input(input_path, MNT4753,
+                                       params.d, params.m)
+        t0 = time.time()
+        sess = tpu_prover.ProverSession(MNT4753, params)
+        stage_s = time.time() - t0
+        t0 = time.time()
+        sess.prove(inputs)      # pays the deferred row conversion
+        first_s = time.time() - t0
+        t0 = time.time()
+        sess.prove(inputs)      # steady state: inputs-only upload
+        serve_s = time.time() - t0
+        out["serve"] = {"stage_s": round(stage_s, 2),
+                        "first_s": round(first_s, 2),
+                        "warm_s": round(serve_s, 2)}
     return out
 
 
@@ -337,6 +359,10 @@ def _run_group(leg_names, timeout_s: float, on_leg) -> set:
     # process; with a pinned seed it HITS (measured on the axon backend,
     # .scratch/hm_seed0_*.log — BASELINE.md round 5).
     env.setdefault("PYTHONHASHSEED", "0")
+    # the child's _remaining() clock starts at ITS process start: hand it
+    # the parent's remaining global budget so in-leg guards (e.g. the
+    # proof20 serve extension) see the true deadline
+    env["BENCH_DEADLINE_S"] = str(max(60.0, round(_remaining(), 1)))
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--legs", ",".join(leg_names)],

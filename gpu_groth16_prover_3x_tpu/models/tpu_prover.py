@@ -157,6 +157,18 @@ def input_from_host(curve: CurveParams, hi) -> DeviceInput:
 
 # -- the prover ------------------------------------------------------------------
 
+def _phase_sync(*vals):
+    """Drain async XLA dispatch at a phase boundary so the block
+    timers attribute execution to the phase that issued it (the
+    reference syncs around its print_time calls,
+    cuda_prover_piecewise.cu:183-196).  GROTH16_ASYNC_PHASES=1
+    restores free overlap (timers then measure dispatch only)."""
+    import jax
+    if not os.environ.get("GROTH16_ASYNC_PHASES"):
+        jax.block_until_ready(vals)
+    return vals
+
+
 def _from_monty_keys(fr_ops, mont_cols) -> jnp.ndarray:
     """(48, n) Montgomery limb columns (device) -> standard-domain digit
     limbs, same shape.
@@ -196,52 +208,20 @@ def _pad_keys(keys, n_pad: int):
     return jnp.pad(keys, ((0, 0), (0, n_pad - n)))
 
 
-def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
-          chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
-          c: int = None, tables=None, signed: bool = None):
-    """Full proof; returns affine (A, B2, C) host tuples.
+_WIDEN = None
 
-    Call structure mirrors run_prover (cuda_prover_piecewise.cu:96-230);
-    all heavy compute is device-resident, the final scalar-sized assembly
-    C = Ht + Lt + r*Bt1 is exact host arithmetic like the reference's
-    post-sync CPU epilogue (:188-200).
 
-    `tables`: optional (B1_t, B2_t, L_t) preprocessed multiples from
-    load_preprocessed — B1/B2/L then run the digit-indexed Straus kernel
-    (ops/straus.py) like the reference's table path
-    (cuda_prover_piecewise.cu:162-167), while A/H stay on the fused
-    Pippenger kernel.  Proof bytes are identical either way.
-    """
-    from ..ops.ec import get_curve_ops
-    from ..ops.field import fr_ops as mk_fr
-    import jax
+def _widen_u32(a):
+    """Cached jitted u16 -> u32 widen (input columns ship narrow)."""
+    global _WIDEN
+    if _WIDEN is None:
+        import jax
+        _WIDEN = jax.jit(lambda x: x.astype(jnp.uint32))
+    return _WIDEN(a)
 
-    def _phase_sync(*vals):
-        """Drain async XLA dispatch at a phase boundary so the block
-        timers attribute execution to the phase that issued it (the
-        reference syncs around its print_time calls,
-        cuda_prover_piecewise.cu:183-196).  GROTH16_ASYNC_PHASES=1
-        restores free overlap (timers then measure dispatch only)."""
-        if not os.environ.get("GROTH16_ASYNC_PHASES"):
-            jax.block_until_ready(vals)
-        return vals
 
-    g1 = get_curve_ops(curve, "g1")
-    g2 = get_curve_ops(curve, "g2")
-    frops = mk_fr(curve)
-    hg1 = host_ec.g1_group(curve)
-    hg2 = host_ec.g2_group(curve)
-    d, m = params.d, params.m
-    if g1.qbits != 16 and tables is not None:
-        # tables path at radix-15 Fq: serialized R-domain rows re-chunk
-        # + domain-shift to R' once at load (ops/msm.py); the Pippenger
-        # path converts on device via stage_rows_device below
-        from ..ops.msm import rows_at_fq_radix as _rx
-        p_ = curve.fq.p
-        params = DeviceParams(d, m, _rx(p_, params.A), _rx(p_, params.B1),
-                              _rx(p_, params.B2), _rx(p_, params.L),
-                              _rx(p_, params.H))
-        tables = tuple(_rx(p_, np.asarray(t)) for t in tables)
+def _resolve_msm_cfg(m: int, chunk_s: int, c, signed):
+    """Shared window/chunk defaults for the one-shot and session provers."""
     if c is None:
         # the 2^c-bucket reduction is O(2^c) EC ops per window: pick the
         # small window when n is small so it cannot dominate
@@ -260,169 +240,178 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         signed = not L._cpu_backend()
     # keep enough chunks (lanes) busy at small sizes
     chunk_s = min(chunk_s, max(8, (2 * m) // 128))
+    return chunk_s, c, signed
 
-    p = curve.fq.p
-    pi1 = primary_input_size + 1
-    nL = params.L.shape[0]
-    q = _pad_quantum(chunk_s)
 
-    # -- stage EVERY bulk upload before the first kernel runs ----------------
-    # The axon link's big-transfer bandwidth collapses ~20x once any
-    # kernel has executed in the process (measured in
-    # .scratch/stream_profile*.py; ops/msm.msm_window_sums_streamed).
-    # Uploading the query rows here — before the H-phase NTT — moves
-    # ~GBs of traffic onto the fast link; at radix 15 the R -> R'
-    # domain-shift kernels then run ON DEVICE after all uploads, so the
-    # converted rows never round-trip through the host (the round-4 path
-    # paid five device->host->device trips for this).
-    enter_block("stage inputs (host->device)")
-    ca = jnp.asarray(np.ascontiguousarray(inputs.ca.T).astype(np.uint32))
-    cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
-    cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
-    w_mont = jnp.asarray(np.ascontiguousarray(inputs.w_mont.T)
-                         .astype(np.uint32))
-    g1_rows_dev = b2_rows_dev = None
-    g1_rows_host = b2_rows_host = None
-    if tables is None:
+class ProverSession:
+    """Params-resident serving session: stage one parameter set's query
+    rows on device ONCE, then serve any number of proofs against them.
+
+    The reference re-loads its preprocessed tables from disk into
+    unified memory on every prover invocation
+    (cuda_prover_piecewise.cu:125-141) — one proof per process.  A
+    serving deployment amortizes that: the ~1.2 GB of query rows (at
+    MNT4753 2^20) ride the fast pre-kernel host->device link once per
+    parameter set, and each subsequent proof ships only its per-proof
+    inputs (witness + ca/cb/cc evaluations — ~0.4 GB at 2^20, shipped
+    as u16 and widened on device).  The one-shot warm 2^20 prove pays a
+    ~99 s staging lap dominated by the query rows (BASELINE.md round 5);
+    a session prove pays only the input upload.
+
+        sess = ProverSession(curve, params)
+        proofA = sess.prove(inputsA)
+        proofB = sess.prove(inputsB)     # no row re-upload
+
+    Proof bytes are identical to prove() — prove() itself is a one-shot
+    session.  The radix-15 row-conversion kernels are DEFERRED to the
+    first prove(), after that proof's input upload, so a one-shot
+    session keeps the "every bulk upload before the first kernel"
+    ordering that the link-collapse workaround requires (ops/msm.py
+    stage_rows_device).
+    """
+
+    def __init__(self, curve: CurveParams, params: DeviceParams,
+                 chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
+                 c: int = None, signed: bool = None):
+        from ..ops.ec import get_curve_ops
+        from ..ops.field import fr_ops as mk_fr
         from ..ops.msm import rows_at_fq_radix, stage_rows_device
+
+        self.curve = curve
+        self.g1 = get_curve_ops(curve, "g1")
+        self.g2 = get_curve_ops(curve, "g2")
+        self.frops = mk_fr(curve)
+        self.hg1 = host_ec.g1_group(curve)
+        self.hg2 = host_ec.g2_group(curve)
+        d, m = params.d, params.m
+        self.d, self.m = d, m
+        self.chunk_s, self.c, self.signed = _resolve_msm_cfg(
+            m, chunk_s, c, signed)
+        self.pi1 = primary_input_size + 1
+        nL = params.L.shape[0]
+        self.nL = nL
+        p = curve.fq.p
+        self.p = p
+        q = _pad_quantum(self.chunk_s)
+
+        enter_block("stage params (host->device)")
         g1_rows_np = np.concatenate([
             params.A[:m + 1], params.B1[:m + 1], params.L[:nL],
             params.H[:d]])
         n_tot = g1_rows_np.shape[0]
-        n_pad = ((n_tot + q - 1) // q) * q
+        self.n_tot = n_tot
+        self.n_pad = ((n_tot + q - 1) // q) * q
         n2 = m + 1
-        n2_pad = ((n2 + q - 1) // q) * q
-        row_bytes = 2 * (n_pad * 2 * g1.nq
-                         + n2_pad * 2 * g2.F.deg * g1.nq)
-        resident = row_bytes <= int(os.environ.get(
+        self.n2 = n2
+        self.n2_pad = ((n2 + q - 1) // q) * q
+        row_bytes = 2 * (self.n_pad * 2 * self.g1.nq
+                         + self.n2_pad * 2 * self.g2.F.deg * self.g1.nq)
+        self.resident = row_bytes <= int(os.environ.get(
             "GROTH16_MSM_RESIDENT_BYTES", str(6 << 30)))
-        if resident:
+        self._g1_rows = self._b2_rows = None      # device rows (resident)
+        self._g1_rows_host = self._b2_rows_host = None
+        self._fins = None
+        if self.resident:
             s1, fin1 = stage_rows_device(
-                p, pad_rows(g1_rows_np, n_pad), g1.qbits)
+                p, pad_rows(g1_rows_np, self.n_pad), self.g1.qbits)
             s2, fin2 = stage_rows_device(
-                p, pad_rows(params.B2[:n2], n2_pad), g1.qbits)
-            _phase_sync(s1, s2)               # uploads complete first
-            g1_rows_dev = fin1()              # radix-15 shift kernels
-            b2_rows_dev = fin2()
-            _phase_sync(g1_rows_dev, b2_rows_dev)
-            del s1, s2
+                p, pad_rows(params.B2[:n2], self.n2_pad), self.g1.qbits)
+            _phase_sync(s1, s2)    # uploads complete; kernels deferred
+            self._fins = (fin1, fin2)
         else:
             # beyond-HBM sizes: host-resident rows at the active radix,
-            # streamed in bounded blocks (slow post-kernel link, hidden
-            # behind compute by the double-buffered upload)
-            g1_rows_host = rows_at_fq_radix(p, pad_rows(g1_rows_np, n_pad))
-            b2_rows_host = rows_at_fq_radix(
-                p, pad_rows(params.B2[:n2], n2_pad))
-    leave_block("stage inputs (host->device)")
+            # streamed in bounded blocks per proof
+            self._g1_rows_host = rows_at_fq_radix(
+                p, pad_rows(g1_rows_np, self.n_pad))
+            self._b2_rows_host = rows_at_fq_radix(
+                p, pad_rows(params.B2[:n2], self.n2_pad))
+        self.seg_np = np.concatenate([
+            np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
+            np.full(d, 3), np.full(self.n_pad - n_tot, 3)]).astype(np.int32)
+        blk_env = os.environ.get("GROTH16_MSM_BLOCK_POINTS")
+        if blk_env is not None:
+            self.block_points = int(blk_env) or None
+        else:
+            self.block_points = (1 << 21) if self.n_pad > (1 << 22) else None
+        leave_block("stage params (host->device)")
 
-    enter_block("H pipeline (device NTT)")
-    plan = get_plan(curve.fr, d + 1)
-    _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
-    _phase_sync(h_std)
-    del ca, cb, cc           # ~2.4 GB of HBM at the 2^22 prove
-    leave_block("H pipeline (device NTT)")
+    def _finish_rows(self):
+        """Run the deferred radix-conversion kernels (first prove only)."""
+        if self._fins is not None:
+            fin1, fin2 = self._fins
+            self._g1_rows = fin1()
+            self._b2_rows = fin2()
+            _phase_sync(self._g1_rows, self._b2_rows)
+            self._fins = None
 
-    enter_block("scalar from_monty (device)")
-    w_keys = _from_monty_keys(frops, w_mont)  # (48, m+1)
-    _phase_sync(w_keys)
-    del w_mont
-    leave_block("scalar from_monty (device)")
-    if tables is not None:
-        from ..ops.straus import STRAUS_C, straus_window_sums
-        B1_t, B2_t, L_t = tables
-        enter_block("MSMs (device: Straus tables + Pippenger A/H)")
-        # A and H have no tables (the reference computes them on the CPU,
-        # cuda_prover_piecewise.cu:171-187); keep them on one fused
-        # Pippenger kernel while B1/B2/L ride the digit-indexed tables
-        g1_rows_np = np.concatenate([params.A[:m + 1], params.H[:d]])
-        n_tot = g1_rows_np.shape[0]
-        q = _pad_quantum(chunk_s)
-        n_pad = ((n_tot + q - 1) // q) * q
-        g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
-        g1_keys = jnp.concatenate([
-            w_keys[:, :m + 1], h_std[:, :d],
-            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
-        seg_np = np.concatenate([
-            np.full(m + 1, 0), np.full(d, 1),
-            np.full(n_pad - n_tot, 1)]).astype(np.int32)
-        ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
-                                jnp.asarray(seg_np), 2, signed=signed)
-        ws_B1 = straus_window_sums(g1, w_keys[:, :m + 1],
-                                   jnp.asarray(B1_t))
-        ws_L = straus_window_sums(g1, w_keys[:, pi1:pi1 + nL],
-                                  jnp.asarray(L_t))
-        ws_B2 = straus_window_sums(g2, w_keys[:, :m + 1],
-                                   jnp.asarray(B2_t))
-        _phase_sync(ws_g1, ws_B1, ws_L, ws_B2)
-        leave_block("MSMs (device: Straus tables + Pippenger A/H)")
+    def prove(self, inputs: DeviceInput):
+        """One proof against the staged parameter set; returns affine
+        (A, B2, C) host tuples, byte-identical to prove()."""
+        d, m, nL, pi1 = self.d, self.m, self.nL, self.pi1
+        g1, g2, p, c = self.g1, self.g2, self.p, self.c
+        hg1, hg2 = self.hg1, self.hg2
 
-        enter_block("readback + host assembly")
-        res2 = finalize_windows_native(g1, hg1, ws_g1, p, c, 2)
-        Bt1 = Lt = Bt2 = None
-        if res2 is not None:
-            At, Ht = res2
-            Bt1 = finalize_windows_native(g1, hg1, ws_B1, p, STRAUS_C)
-            Lt = finalize_windows_native(g1, hg1, ws_L, p, STRAUS_C)
-            Bt2 = finalize_windows_native(g2, hg2, ws_B2, p, STRAUS_C)
-        else:   # pure-python epilogue (no native toolchain)
-            g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
-            At = finalize_msm(hg1, g1_pts[0], c)
-            Ht = finalize_msm(hg1, g1_pts[1], c)
-        # each result falls back independently: horner_proj may fail
-        # after available() returned True (e.g. a dlopen raced an
-        # interrupted rebuild) and must not crash the whole proof
-        if Bt1 is None:
-            Bt1 = finalize_msm(
-                hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
-        if Lt is None:
-            Lt = finalize_msm(
-                hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
-        if Bt2 is None:
-            Bt2 = finalize_msm(
-                hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
-    else:
+        enter_block("stage inputs (host->device)")
+        # per-proof inputs ship as u16 (halving the bytes on the
+        # collapsed in-session link) and widen on device only after all
+        # four uploads have landed
+        ca16 = jnp.asarray(np.ascontiguousarray(inputs.ca.T)
+                           .astype(np.uint16))
+        cb16 = jnp.asarray(np.ascontiguousarray(inputs.cb.T)
+                           .astype(np.uint16))
+        cc16 = jnp.asarray(np.ascontiguousarray(inputs.cc.T)
+                           .astype(np.uint16))
+        w16 = jnp.asarray(np.ascontiguousarray(inputs.w_mont.T)
+                          .astype(np.uint16))
+        _phase_sync(ca16, cb16, cc16, w16)
+        self._finish_rows()     # deferred radix conversion (first prove)
+        ca, cb, cc = _widen_u32(ca16), _widen_u32(cb16), _widen_u32(cc16)
+        w_mont = _widen_u32(w16)
+        del ca16, cb16, cc16, w16
+        leave_block("stage inputs (host->device)")
+
+        enter_block("H pipeline (device NTT)")
+        plan = get_plan(self.curve.fr, d + 1)
+        _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
+        _phase_sync(h_std)
+        del ca, cb, cc           # ~2.4 GB of HBM at the 2^22 prove
+        leave_block("H pipeline (device NTT)")
+
+        enter_block("scalar from_monty (device)")
+        w_keys = _from_monty_keys(self.frops, w_mont)   # (48, m+1)
+        _phase_sync(w_keys)
+        del w_mont
+        leave_block("scalar from_monty (device)")
+
         enter_block("MSMs (device Pippenger)")
         # ONE fused G1 kernel for A / B1 / L / H (the reference runs B1,
-        # B2, L on three CUDA streams and A, H on the CPU — here the four
-        # G1 MSMs share a single sort/scan/reduce pass,
-        # cuda_prover_piecewise.cu:162-179).  Rows were staged/converted
-        # device-side before the first kernel (see "stage inputs");
-        # keys stay DEVICE-RESIDENT too: w_keys/h_std were computed on
-        # device, and shipping them host-side only to re-upload per
-        # block would pay the (collapsed) link twice in each direction.
+        # B2, L on three CUDA streams and A, H on the CPU — here the
+        # four G1 MSMs share a single sort/scan/reduce pass,
+        # cuda_prover_piecewise.cu:162-179).  Keys stay device-resident;
         # u16 keys: digit limbs are < 2^16 and the streamed path widens
-        # per block — at the 2^22 prove the u32 layout would idle 1.6 GB
-        # of HBM (the whole fused MSM has 2^24 rows)
+        # per block.
         g1_keys = jnp.concatenate([
             w_keys[:, :m + 1].astype(jnp.uint16),
             w_keys[:, :m + 1].astype(jnp.uint16),
             w_keys[:, pi1:pi1 + nL].astype(jnp.uint16),
             h_std[:, :d].astype(jnp.uint16),
-            jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), jnp.uint16)], axis=1)
-        seg_np = np.concatenate([
-            np.full(m + 1, 0), np.full(m + 1, 1), np.full(nL, 2),
-            np.full(d, 3), np.full(n_pad - n_tot, 3)]).astype(np.int32)
-        # Bounded-block streaming (SURVEY §7.4.7): the kernel's TRANSIENT
-        # working set (sorted copies + emission stacks) is what outgrows
-        # HBM past ~2^22 rows, so blocks bound it regardless of whether
-        # the rows themselves are device-resident.
-        # GROTH16_MSM_BLOCK_POINTS overrides; 0 disables.
-        blk_env = os.environ.get("GROTH16_MSM_BLOCK_POINTS")
-        if blk_env is not None:
-            block_points = int(blk_env) or None
-        else:
-            block_points = (1 << 21) if n_pad > (1 << 22) else None
-        b2_keys = _pad_keys(w_keys[:, :n2], n2_pad).astype(jnp.uint16)
+            jnp.zeros((L.NUM_LIMBS, self.n_pad - self.n_tot), jnp.uint16)],
+            axis=1)
+        b2_keys = _pad_keys(w_keys[:, :self.n2],
+                            self.n2_pad).astype(jnp.uint16)
         del w_keys, h_std    # copied into g1_keys/b2_keys above
         ws_g1 = msm_window_sums_streamed(
             g1, g1_keys,
-            g1_rows_dev if g1_rows_dev is not None else g1_rows_host,
-            chunk_s, c, seg_np, 4, block_points, signed=signed)
-
+            self._g1_rows if self._g1_rows is not None
+            else self._g1_rows_host,
+            self.chunk_s, c, self.seg_np, 4, self.block_points,
+            signed=self.signed)
         ws_B2 = msm_window_sums_streamed(
             g2, b2_keys,
-            b2_rows_dev if b2_rows_dev is not None else b2_rows_host,
-            chunk_s, c, None, 1, block_points, signed=signed)
+            self._b2_rows if self._b2_rows is not None
+            else self._b2_rows_host,
+            self.chunk_s, c, None, 1, self.block_points,
+            signed=self.signed)
         _phase_sync(ws_g1, ws_B2)
         leave_block("MSMs (device Pippenger)")
 
@@ -440,6 +429,136 @@ def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
         if Bt2 is None:
             Bt2 = finalize_msm(hg2, window_sums_to_host(g2, ws_B2, p), c)
 
+        C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
+        out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))
+        leave_block("readback + host assembly")
+        return out
+
+
+def prove(curve: CurveParams, params: DeviceParams, inputs: DeviceInput,
+          chunk_s: int = DEFAULT_CHUNK, primary_input_size: int = 1,
+          c: int = None, tables=None, signed: bool = None):
+    """Full proof; returns affine (A, B2, C) host tuples.
+
+    Call structure mirrors run_prover (cuda_prover_piecewise.cu:96-230);
+    all heavy compute is device-resident, the final scalar-sized assembly
+    C = Ht + Lt + r*Bt1 is exact host arithmetic like the reference's
+    post-sync CPU epilogue (:188-200).
+
+    `tables`: optional (B1_t, B2_t, L_t) preprocessed multiples from
+    load_preprocessed — B1/B2/L then run the digit-indexed Straus kernel
+    (ops/straus.py) like the reference's table path
+    (cuda_prover_piecewise.cu:162-167), while A/H stay on the fused
+    Pippenger kernel.  Proof bytes are identical either way.
+    """
+    if tables is None:
+        # one-shot session: ProverSession defers the radix-conversion
+        # kernels past the input upload, preserving the "every bulk
+        # upload before the first kernel" staging order the
+        # link-collapse workaround requires
+        sess = ProverSession(curve, params, chunk_s, primary_input_size,
+                             c, signed)
+        return sess.prove(inputs)
+
+    from ..ops.ec import get_curve_ops
+    from ..ops.field import fr_ops as mk_fr
+    from ..ops.straus import STRAUS_C, straus_window_sums
+
+    g1 = get_curve_ops(curve, "g1")
+    g2 = get_curve_ops(curve, "g2")
+    frops = mk_fr(curve)
+    hg1 = host_ec.g1_group(curve)
+    hg2 = host_ec.g2_group(curve)
+    d, m = params.d, params.m
+    if g1.qbits != 16:
+        # tables path at radix-15 Fq: serialized R-domain rows re-chunk
+        # + domain-shift to R' once at load (ops/msm.py); the Pippenger
+        # path converts on device via ProverSession's stage_rows_device
+        from ..ops.msm import rows_at_fq_radix as _rx
+        p_ = curve.fq.p
+        params = DeviceParams(d, m, _rx(p_, params.A), _rx(p_, params.B1),
+                              _rx(p_, params.B2), _rx(p_, params.L),
+                              _rx(p_, params.H))
+        tables = tuple(_rx(p_, np.asarray(t)) for t in tables)
+    chunk_s, c, signed = _resolve_msm_cfg(m, chunk_s, c, signed)
+
+    p = curve.fq.p
+    pi1 = primary_input_size + 1
+    nL = params.L.shape[0]
+
+    enter_block("stage inputs (host->device)")
+    ca = jnp.asarray(np.ascontiguousarray(inputs.ca.T).astype(np.uint32))
+    cb = jnp.asarray(np.ascontiguousarray(inputs.cb.T).astype(np.uint32))
+    cc = jnp.asarray(np.ascontiguousarray(inputs.cc.T).astype(np.uint32))
+    w_mont = jnp.asarray(np.ascontiguousarray(inputs.w_mont.T)
+                         .astype(np.uint32))
+    leave_block("stage inputs (host->device)")
+
+    enter_block("H pipeline (device NTT)")
+    plan = get_plan(curve.fr, d + 1)
+    _, h_std = compute_h_device(plan, ca, cb, cc)   # (48, d+1) digits
+    _phase_sync(h_std)
+    del ca, cb, cc           # ~2.4 GB of HBM at the 2^22 prove
+    leave_block("H pipeline (device NTT)")
+
+    enter_block("scalar from_monty (device)")
+    w_keys = _from_monty_keys(frops, w_mont)  # (48, m+1)
+    _phase_sync(w_keys)
+    del w_mont
+    leave_block("scalar from_monty (device)")
+
+    B1_t, B2_t, L_t = tables
+    enter_block("MSMs (device: Straus tables + Pippenger A/H)")
+    # A and H have no tables (the reference computes them on the CPU,
+    # cuda_prover_piecewise.cu:171-187); keep them on one fused
+    # Pippenger kernel while B1/B2/L ride the digit-indexed tables
+    g1_rows_np = np.concatenate([params.A[:m + 1], params.H[:d]])
+    n_tot = g1_rows_np.shape[0]
+    q = _pad_quantum(chunk_s)
+    n_pad = ((n_tot + q - 1) // q) * q
+    g1_rows = jnp.asarray(pad_rows(g1_rows_np, n_pad))
+    g1_keys = jnp.concatenate([
+        w_keys[:, :m + 1], h_std[:, :d],
+        jnp.zeros((L.NUM_LIMBS, n_pad - n_tot), w_keys.dtype)], axis=1)
+    seg_np = np.concatenate([
+        np.full(m + 1, 0), np.full(d, 1),
+        np.full(n_pad - n_tot, 1)]).astype(np.int32)
+    ws_g1 = msm_window_sums(g1, g1_keys, g1_rows, chunk_s, c,
+                            jnp.asarray(seg_np), 2, signed=signed)
+    ws_B1 = straus_window_sums(g1, w_keys[:, :m + 1],
+                               jnp.asarray(B1_t))
+    ws_L = straus_window_sums(g1, w_keys[:, pi1:pi1 + nL],
+                              jnp.asarray(L_t))
+    ws_B2 = straus_window_sums(g2, w_keys[:, :m + 1],
+                               jnp.asarray(B2_t))
+    _phase_sync(ws_g1, ws_B1, ws_L, ws_B2)
+    leave_block("MSMs (device: Straus tables + Pippenger A/H)")
+
+    enter_block("readback + host assembly")
+    res2 = finalize_windows_native(g1, hg1, ws_g1, p, c, 2)
+    Bt1 = Lt = Bt2 = None
+    if res2 is not None:
+        At, Ht = res2
+        Bt1 = finalize_windows_native(g1, hg1, ws_B1, p, STRAUS_C)
+        Lt = finalize_windows_native(g1, hg1, ws_L, p, STRAUS_C)
+        Bt2 = finalize_windows_native(g2, hg2, ws_B2, p, STRAUS_C)
+    else:   # pure-python epilogue (no native toolchain)
+        g1_pts = window_sums_to_host(g1, ws_g1, p, num_msms=2)
+        At = finalize_msm(hg1, g1_pts[0], c)
+        Ht = finalize_msm(hg1, g1_pts[1], c)
+    # each result falls back independently: horner_proj may fail
+    # after available() returned True (e.g. a dlopen raced an
+    # interrupted rebuild) and must not crash the whole proof
+    if Bt1 is None:
+        Bt1 = finalize_msm(
+            hg1, window_sums_to_host(g1, ws_B1, p), STRAUS_C)
+    if Lt is None:
+        Lt = finalize_msm(
+            hg1, window_sums_to_host(g1, ws_L, p), STRAUS_C)
+    if Bt2 is None:
+        Bt2 = finalize_msm(
+            hg2, window_sums_to_host(g2, ws_B2, p), STRAUS_C)
+
     C = hg1.add(hg1.add(Ht, Lt), hg1.mul(inputs.r, Bt1))
     out = (hg1.to_affine(At), hg2.to_affine(Bt2), hg1.to_affine(C))
     leave_block("readback + host assembly")
@@ -451,6 +570,30 @@ def run_prover(curve_name: str, params_path: str, input_path: str,
     """CLI adapter (utils/cli.py `tpu <CURVE> compute ...`)."""
     from ..curves.constants import CURVES
     prove_files(CURVES[curve_name], params_path, input_path, output_path)
+
+
+def serve_files(curve_name: str, params_path: str, pairs) -> None:
+    """CLI adapter for `tpu <CURVE> serve <params> <in> <out> ...`:
+    params-resident serving — load + stage the parameter set once, then
+    prove every (input, output) pair against it (ProverSession)."""
+    from ..curves.constants import CURVES
+    curve = CURVES[curve_name]
+    t0 = time.time()
+    params = load_params(params_path, curve)
+    print(f"load params: {time.time() - t0:.3f}s", flush=True)
+    t1 = time.time()
+    sess = ProverSession(curve, params)
+    print(f"stage params: {time.time() - t1:.3f}s", flush=True)
+    for i, (input_path, output_path) in enumerate(pairs):
+        t1 = time.time()
+        inputs = load_input(input_path, curve, params.d, params.m)
+        print(f"[{i}] load inputs: {time.time() - t1:.3f}s", flush=True)
+        t1 = time.time()
+        proof = sess.prove(inputs)
+        print(f"[{i}] prove (serve): {time.time() - t1:.3f}s", flush=True)
+        ser.write_output(output_path, curve, *proof)
+    log_device_memory("post-serve")
+    print(f"total: {time.time() - t0:.3f}s", flush=True)
 
 
 def prove_files(curve: CurveParams, params_path: str, input_path: str,

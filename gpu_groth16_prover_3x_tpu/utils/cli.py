@@ -13,6 +13,14 @@ Here:
   python -m gpu_groth16_prover_3x_tpu cpu <CURVE> compute <params> <input> <output>
   python -m gpu_groth16_prover_3x_tpu cpu <CURVE> preprocess <params>
   python -m gpu_groth16_prover_3x_tpu tpu <CURVE> compute <params> <input> <output>
+  python -m gpu_groth16_prover_3x_tpu tpu <CURVE> serve <params> \
+      <input> <output> [<input> <output> ...]
+
+`serve` is the params-resident serving mode (beyond-reference): the
+parameter set is loaded and staged on device ONCE, then every
+<input> <output> pair is proved against it without re-uploading the
+~GB of query rows (models/tpu_prover.ProverSession).  The reference
+can only re-load its tables per proof (cuda_prover_piecewise.cu:125).
 """
 
 import argparse
@@ -34,10 +42,14 @@ def main(argv=None) -> int:
                        ("tpu", "TPU prover")):
         pr = sub.add_parser(name, help=desc)
         pr.add_argument("curve", choices=["MNT4753", "MNT6753"])
-        pr.add_argument("mode", choices=["compute", "preprocess"])
+        pr.add_argument("mode", choices=["compute", "preprocess", "serve"]
+                        if name == "tpu" else ["compute", "preprocess"])
         pr.add_argument("params_path")
         pr.add_argument("input_path", nargs="?")
         pr.add_argument("output_path", nargs="?")
+        if name == "tpu":
+            pr.add_argument("more_pairs", nargs="*",
+                            help="serve mode: extra <input> <output> pairs")
 
     args = parser.parse_args(argv)
 
@@ -82,6 +94,14 @@ def main(argv=None) -> int:
                 f"{args.curve}_preprocessed")
             return 0
         from ..models import tpu_prover
+        if args.mode == "serve":
+            pairs = [args.input_path, args.output_path] + args.more_pairs
+            if len(pairs) % 2 or not all(pairs):
+                parser.error("serve needs <input> <output> pairs")
+            tpu_prover.serve_files(
+                args.curve, args.params_path,
+                list(zip(pairs[0::2], pairs[1::2])))
+            return 0
         tpu_prover.run_prover(args.curve, args.params_path, args.input_path,
                               args.output_path)
         return 0
